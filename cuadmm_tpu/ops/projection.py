@@ -44,6 +44,7 @@ def psd_project(
     Xb: jax.Array,
     maps: Dict[str, Any],
     eigh_by_bucket: Optional[Dict[int, EighFn]] = None,
+    mesh=None,
 ) -> jax.Array:
     """Project svec vector Xb onto the product cone.
 
@@ -53,11 +54,19 @@ def psd_project(
 
     ``eigh_by_bucket`` optionally overrides the eigh implementation per
     bucket index (e.g. the Pallas Jacobi kernel for small sizes).
+
+    With a ``mesh``, each bucket's batch axis is sharded across devices --
+    the TPU-native analog of the reference's moment-matrix partition across
+    GPUs (reference: src/duo_solver.cu:269-295); XLA inserts the ICI
+    collectives around the eigh.
     """
+    from cuadmm_tpu.parallel.mesh import shard_blocks
+
     blocks = svec_to_blocks(Xb, maps)
     projected = []
     for i, bt in enumerate(blocks):
+        bt = shard_blocks(bt, mesh)
         fn = (eigh_by_bucket or {}).get(i, xla_eigh)
         w, v = fn(bt)
-        projected.append(reconstruct_clamped(w, v))
+        projected.append(shard_blocks(reconstruct_clamped(w, v), mesh))
     return blocks_to_svec(projected, Xb, maps)

@@ -64,9 +64,11 @@ class SDPSolver:
         problem: Problem,
         config: SolverConfig = SolverConfig(),
         eigh_by_bucket: Optional[Dict[int, Any]] = None,
+        mesh=None,
     ):
         self.problem = problem
         self.config = config
+        self.mesh = mesh
         self.dtype = jnp.dtype(config.dtype)
         if self.dtype == jnp.float64 and not jax.config.jax_enable_x64:
             raise RuntimeError(
@@ -227,6 +229,7 @@ class SDPSolver:
             sig_min=cfg.sig_min,
             sig_max=cfg.sig_max,
             eigh_by_bucket=self._eigh_by_bucket,
+            mesh=self.mesh,
         )
 
         log = IterLogger(enabled=cfg.verbose)

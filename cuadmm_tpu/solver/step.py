@@ -43,6 +43,7 @@ def make_step(
     sig_min: float,
     sig_max: float,
     eigh_by_bucket: Optional[Dict[int, Any]] = None,
+    mesh=None,
 ):
     """Build the iteration body with static algorithm constants baked in."""
 
@@ -61,7 +62,7 @@ def make_step(
             Aty = spmv_at(sa, y_half)
             Rd1 = Aty - params.C
             Xb = state.X + sig * Rd1
-            Xproj = psd_project(Xb, params.maps, eigh_by_bucket)
+            Xproj = psd_project(Xb, params.maps, eigh_by_bucket, mesh=mesh)
             S = (Xproj - state.X) / sig - Rd1
             SmC = S - params.C
 
