@@ -4,11 +4,13 @@ The reference factorizes AA^T once with CHOLMOD on the CPU and then ships
 the right-hand side device->host->device **twice per iteration** for the
 triangular solves (reference: include/cuadmm/cholesky_cpu.h:33-155,
 src/solver.cu:487-500 and :704-717). On TPU that host round-trip would
-serialize the whole pipeline, so the default here keeps everything
-device-resident:
+serialize the whole pipeline, so everything here is device-resident:
 
-- ``dense``: one-time dense Cholesky of AA^T + eps*I on device; each solve
-  is two triangular solves (fully on-device, jit-compatible).
+- ``dense`` (default): AA^T is *built and Cholesky-factorized on device*
+  in one jitted program -- only the COO triplets of A ever cross the
+  host->TPU link. Each solve is two triangular solves plus optional
+  iterative-refinement steps (cheap sparse matvecs) that recover the
+  accuracy lost to a float32 factor.
 - ``cg``: Jacobi-preconditioned conjugate gradient using only the sparse
   A matvecs (for con_num too large to hold a dense factor).
 - ``host``: scipy sparse LU factorization once, host callback per solve --
@@ -41,13 +43,22 @@ class NormalEqSolver:
     sparse_a: Optional[SparseA]
     cg_tol: float
     cg_max_iter: int
+    refine_steps: int = 0
     # host: callable rhs(np) -> y(np)
     host_solve: Optional[Callable] = None
     eps_used: float = 0.0
 
     def solve(self, rhs: jax.Array, warm: Optional[jax.Array] = None) -> jax.Array:
         if self.mode == "dense":
-            return jax.scipy.linalg.cho_solve((self.chol_l, True), rhs)
+            y = jax.scipy.linalg.cho_solve((self.chol_l, True), rhs)
+            # Iterative refinement: each step costs two sparse matvecs +
+            # one pair of triangular solves and squares away the float32
+            # factorization error (the reference gets f64 accuracy from
+            # CHOLMOD; we recover it on device).
+            for _ in range(self.refine_steps):
+                r = rhs - _aat_matvec(self.sparse_a, y)
+                y = y + jax.scipy.linalg.cho_solve((self.chol_l, True), r)
+            return y
         if self.mode == "cg":
             return _pcg(
                 self.sparse_a,
@@ -70,7 +81,7 @@ class NormalEqSolver:
 jax.tree_util.register_dataclass(
     NormalEqSolver,
     data_fields=["chol_l", "inv_diag", "sparse_a"],
-    meta_fields=["mode", "cg_tol", "cg_max_iter", "host_solve", "eps_used"],
+    meta_fields=["mode", "cg_tol", "cg_max_iter", "refine_steps", "host_solve", "eps_used"],
 )
 
 
@@ -105,18 +116,74 @@ def _pcg(sa, rhs, inv_diag, x0, tol, max_iter):
     return x
 
 
-def build_aat(
+def build_aat_host(
     at_svec_idx: np.ndarray,
     at_con_idx: np.ndarray,
     vals: np.ndarray,
     con_num: int,
     vec_len: int,
 ) -> sp.csr_matrix:
-    """Host-side AA^T (con_num x con_num) from normalized A^T triplets."""
+    """Host-side sparse AA^T (con_num x con_num) from A^T triplets."""
     a = sp.csr_matrix(
         (vals, (at_con_idx, at_svec_idx)), shape=(con_num, vec_len)
     )
     return (a @ a.T).tocsr()
+
+
+def _device_factorize(
+    at_svec_idx, at_con_idx, vals, con_num, vec_len, dtype, eps: float,
+    dense_a_build_limit: int = 6 * 1024**3,
+):
+    """Build AA^T and its Cholesky factor on device.
+
+    Preferred path: scatter A dense on device (COO triplets are the only
+    host->device transfer) and form AA^T on the MXU. If dense A would not
+    fit, fall back to a host sparse AA^T product (cheap) and ship the dense
+    AA^T once.
+    """
+    itemsize = jnp.dtype(dtype).itemsize
+    rows = jnp.asarray(at_con_idx, jnp.int32)
+    cols = jnp.asarray(at_svec_idx, jnp.int32)
+    v = jnp.asarray(vals, dtype)
+
+    if con_num * vec_len * itemsize <= dense_a_build_limit:
+
+        @jax.jit
+        def fac(rows, cols, v, eps_arr):
+            a = jnp.zeros((con_num, vec_len), dtype).at[rows, cols].add(v)
+            aat = jax.lax.dot_general(
+                a, a, (((1,), (1,)), ((), ())), precision="highest"
+            )
+            scale = jnp.maximum(jnp.trace(aat) / con_num, 1.0)
+            aat = aat + (eps_arr * scale) * jnp.eye(con_num, dtype=dtype)
+            l = jnp.linalg.cholesky(aat)
+            return l, jnp.isfinite(l[-1, -1])
+
+        make = lambda e: fac(rows, cols, v, jnp.asarray(e, dtype))
+    else:
+        aat_host = build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
+        aat_dev = jnp.asarray(np.asarray(aat_host.todense()), dtype)
+        tr = float(max(aat_host.diagonal().sum() / con_num, 1.0))
+
+        @jax.jit
+        def fac2(aat, eps_arr):
+            aat = aat + (eps_arr * tr) * jnp.eye(con_num, dtype=dtype)
+            l = jnp.linalg.cholesky(aat)
+            return l, jnp.isfinite(l[-1, -1])
+
+        make = lambda e: fac2(aat_dev, jnp.asarray(e, dtype))
+
+    # Adaptive jitter: the reference's CHOLMOD LDLt tolerates semidefinite
+    # AA^T with eps=1e-15 (cholesky_cpu.h:50); plain Cholesky needs the
+    # diagonal safely positive. Escalate until the factor is finite.
+    cur = max(eps, 1e-7 if jnp.dtype(dtype) == jnp.float32 else eps)
+    while True:
+        l, ok = make(cur)
+        if bool(ok):
+            return l, cur
+        cur = max(cur * 1e3, 1e-12 if jnp.dtype(dtype) == jnp.float64 else 1e-6)
+        if cur > 1e-2:
+            raise RuntimeError("AA^T Cholesky failed even with jitter 1e-2")
 
 
 def build_normal_solver(
@@ -132,36 +199,28 @@ def build_normal_solver(
     dense_chol_max: int = 32768,
     cg_tol: float = 1e-12,
     cg_max_iter: int = 400,
+    refine_steps: Optional[int] = None,
 ) -> NormalEqSolver:
     """Factorize once at init (reference: src/solver.cu:91-96) and return a
     device-resident solver."""
     if mode == "auto":
         mode = "dense" if con_num <= dense_chol_max else "cg"
+    if refine_steps is None:
+        refine_steps = 1 if jnp.dtype(dtype) == jnp.float32 else 0
 
     if mode == "dense":
-        aat = build_aat(at_svec_idx, at_con_idx, vals, con_num, vec_len)
-        dense = np.asarray(aat.todense(), dtype=np.float64)
-        # Adaptive jitter: the reference's CHOLMOD LDLt tolerates
-        # semidefinite AA^T with eps=1e-15 (cholesky_cpu.h:50); plain
-        # Cholesky needs the diagonal to be safely positive.
-        cur = eps
-        tr = max(np.trace(dense) / con_num, 1.0)
-        while True:
-            try:
-                l = np.linalg.cholesky(dense + cur * tr * np.eye(con_num))
-                break
-            except np.linalg.LinAlgError:
-                cur = max(cur * 1e3, 1e-14)
-                if cur > 1e-4:
-                    raise
+        l, eps_used = _device_factorize(
+            at_svec_idx, at_con_idx, vals, con_num, vec_len, dtype, eps
+        )
         return NormalEqSolver(
             mode="dense",
-            chol_l=jnp.asarray(l, dtype=dtype),
+            chol_l=l,
             inv_diag=None,
-            sparse_a=None,
+            sparse_a=sparse_a,
             cg_tol=cg_tol,
             cg_max_iter=cg_max_iter,
-            eps_used=cur,
+            refine_steps=refine_steps,
+            eps_used=eps_used,
         )
 
     if mode == "cg":
@@ -178,7 +237,7 @@ def build_normal_solver(
         )
 
     if mode == "host":
-        aat = build_aat(at_svec_idx, at_con_idx, vals, con_num, vec_len)
+        aat = build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
         aat = aat + eps * sp.eye(con_num, format="csr")
         lu = spla.factorized(aat.tocsc())
         return NormalEqSolver(

@@ -243,7 +243,11 @@ class SDPSolver:
         while it_done < max_iter and not converged:
             chunk = min(cfg.check_every, max_iter - it_done)
             runner = self._runner(step, chunk, stop_tol)
-            state, info = runner(state, self.params)
+            # Trace-time matmul precision: TPU f32 matmuls default to
+            # bf16 inputs, which would wreck the solve; force full f32
+            # (no-op for f64 / CPU).
+            with jax.default_matmul_precision("highest"):
+                state, info = runner(state, self.params)
             info_np = np.asarray(info, dtype=np.float64)  # (chunk, 8)
             kkt = np.maximum(np.maximum(info_np[:, 2], info_np[:, 3]), info_np[:, 4])
             hits = np.nonzero(kkt < stop_tol)[0]
