@@ -65,6 +65,12 @@ def psd_project(
     blocks = svec_to_blocks(Xb, maps)
     projected = []
     for i, bt in enumerate(blocks):
+        if bt.shape[-1] == 1:
+            # 1x1 blocks (LP cone): projection is elementwise clamping
+            # (cf. the reference treating LP entries as size-1 syevj
+            # batches, src/solver.cu:580-592 -- pure overhead there too).
+            projected.append(jnp.maximum(bt, 0.0))
+            continue
         bt = shard_blocks(bt, mesh)
         fn = (eigh_by_bucket or {}).get(i, xla_eigh)
         w, v = fn(bt)

@@ -38,8 +38,11 @@ SQRT2INV = 1.0 / SQRT2
 
 
 def round_block_size(n: int, rounding: str, exact_above: int) -> int:
-    """Padded bucket size for a PSD block of size n."""
-    if rounding == "exact" or n > exact_above:
+    """Padded bucket size for a PSD block of size n.
+
+    1x1 blocks (LP cone entries) keep their own bucket: their projection is
+    an elementwise max(x, 0), no eigendecomposition needed."""
+    if n == 1 or rounding == "exact" or n > exact_above:
         return n
     p = 4
     while p < n:

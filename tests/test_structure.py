@@ -34,7 +34,7 @@ def dense_blocks_from_svec(blk, x):
 
 
 def test_round_block_size():
-    assert round_block_size(1, "pow2", 64) == 4
+    assert round_block_size(1, "pow2", 64) == 1  # LP fast path bucket
     assert round_block_size(4, "pow2", 64) == 4
     assert round_block_size(5, "pow2", 64) == 8
     assert round_block_size(33, "pow2", 64) == 64
@@ -118,7 +118,7 @@ def test_mixed_sizes_bucketing():
     blk = [("s", n) for n in [1, 2, 2, 3, 4, 6, 7, 8, 9, 10, 13, 13]]
     st = BlockStructure(blk, rounding="pow2")
     ns = [bk.n for bk in st.buckets]
-    assert ns == [4, 8, 16]
+    assert ns == [1, 4, 8, 16]
     assert sum(bk.count for bk in st.buckets) == len(blk)
     rng = np.random.default_rng(3)
     x = rng.standard_normal(st.vec_len)
