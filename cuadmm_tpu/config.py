@@ -50,10 +50,13 @@ class SolverConfig:
       "dense" = one-time device Cholesky factorization + two triangular
       solves per application (fully on device, no host round trips --
       unlike the reference, which ships rhs to CHOLMOD on the CPU twice per
-      iteration, src/solver.cu:487-500). "cg" = device conjugate gradient
-      (for con_num too large for a dense factor). "host" = scipy sparse
-      factorization with a host callback per solve (reference-style).
-      "auto" picks dense below ``dense_chol_max`` unknowns, else cg.
+      iteration, src/solver.cu:487-500). "inv" = explicit dense inverse,
+      one MXU matvec per application (TPU triangular solves are
+      latency-bound sequential chains; refinement restores the accuracy).
+      "cg" = device conjugate gradient (for con_num too large for a dense
+      factor). "host" = scipy sparse factorization with a host callback
+      per solve (reference-style). "auto": inv (f32) / dense (f64) below
+      ``dense_chol_max`` unknowns, else cg.
     - ``cg_tol``/``cg_max_iter``: CG stopping parameters.
     """
 
@@ -92,7 +95,7 @@ class SolverConfig:
             raise ValueError(f"dtype must be float32 or float64, got {self.dtype}")
         if self.bucket_rounding not in ("pow2", "exact"):
             raise ValueError(f"bucket_rounding must be pow2 or exact, got {self.bucket_rounding}")
-        if self.normal_solver not in ("auto", "dense", "cg", "host"):
+        if self.normal_solver not in ("auto", "dense", "inv", "cg", "host"):
             raise ValueError(f"unknown normal_solver {self.normal_solver}")
 
     def replace(self, **kw) -> "SolverConfig":

@@ -47,17 +47,28 @@ class NormalEqSolver:
     # host: callable rhs(np) -> y(np)
     host_solve: Optional[Callable] = None
     eps_used: float = 0.0
+    # inv: explicit (AA^T + eps I)^{-1} (device array), else None.
+    inv_m: Optional[jax.Array] = None
+
+    def _apply_factor(self, rhs: jax.Array) -> jax.Array:
+        if self.mode == "inv":
+            # One dense matvec on the MXU. Triangular solves on TPU are
+            # latency-bound sequential chains (~n/128 dependent steps);
+            # the explicit inverse turns each solve into bandwidth-bound
+            # work, and iterative refinement restores the accuracy.
+            return self.inv_m @ rhs
+        return jax.scipy.linalg.cho_solve((self.chol_l, True), rhs)
 
     def solve(self, rhs: jax.Array, warm: Optional[jax.Array] = None) -> jax.Array:
-        if self.mode == "dense":
-            y = jax.scipy.linalg.cho_solve((self.chol_l, True), rhs)
+        if self.mode in ("dense", "inv"):
+            y = self._apply_factor(rhs)
             # Iterative refinement: each step costs two sparse matvecs +
-            # one pair of triangular solves and squares away the float32
-            # factorization error (the reference gets f64 accuracy from
-            # CHOLMOD; we recover it on device).
+            # one factor application and squares away the float32
+            # factorization/inversion error (the reference gets f64
+            # accuracy from CHOLMOD; we recover it on device).
             for _ in range(self.refine_steps):
                 r = rhs - _aat_matvec(self.sparse_a, y)
-                y = y + jax.scipy.linalg.cho_solve((self.chol_l, True), r)
+                y = y + self._apply_factor(r)
             return y
         if self.mode == "cg":
             return _pcg(
@@ -80,7 +91,7 @@ class NormalEqSolver:
 
 jax.tree_util.register_dataclass(
     NormalEqSolver,
-    data_fields=["chol_l", "inv_diag", "sparse_a"],
+    data_fields=["chol_l", "inv_diag", "sparse_a", "inv_m"],
     meta_fields=["mode", "cg_tol", "cg_max_iter", "refine_steps", "host_solve", "eps_used"],
 )
 
@@ -204,16 +215,29 @@ def build_normal_solver(
     """Factorize once at init (reference: src/solver.cu:91-96) and return a
     device-resident solver."""
     if mode == "auto":
-        mode = "dense" if con_num <= dense_chol_max else "cg"
+        if con_num <= dense_chol_max:
+            # f32: explicit inverse (matvec beats TPU triangular solves);
+            # f64: classic Cholesky solves (CPU/parity path).
+            mode = "inv" if jnp.dtype(dtype) == jnp.float32 else "dense"
+        else:
+            mode = "cg"
     if refine_steps is None:
         refine_steps = 1 if jnp.dtype(dtype) == jnp.float32 else 0
 
-    if mode == "dense":
+    if mode in ("dense", "inv"):
         l, eps_used = _device_factorize(
             at_svec_idx, at_con_idx, vals, con_num, vec_len, dtype, eps
         )
+        inv_m = None
+        if mode == "inv":
+            inv_m = jax.jit(
+                lambda L: jax.scipy.linalg.cho_solve(
+                    (L, True), jnp.eye(L.shape[0], dtype=L.dtype)
+                )
+            )(l)
+            l = None
         return NormalEqSolver(
-            mode="dense",
+            mode=mode,
             chol_l=l,
             inv_diag=None,
             sparse_a=sparse_a,
@@ -221,6 +245,7 @@ def build_normal_solver(
             cg_max_iter=cg_max_iter,
             refine_steps=refine_steps,
             eps_used=eps_used,
+            inv_m=inv_m,
         )
 
     if mode == "cg":

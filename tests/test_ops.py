@@ -102,7 +102,7 @@ def test_reconstruct_clamped():
         np.testing.assert_allclose(out[i], exp, atol=1e-12)
 
 
-@pytest.mark.parametrize("mode", ["dense", "cg", "host"])
+@pytest.mark.parametrize("mode", ["dense", "inv", "cg", "host"])
 def test_normal_solver_modes(mode):
     """(AA^T) y = rhs against a dense numpy solve
     (reference: test/cholesky_cpu_test.hpp hand-computed systems)."""
