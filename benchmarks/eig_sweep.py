@@ -1,0 +1,95 @@
+"""Eigh-method calibration sweep.
+
+Counterpart of the reference's SingleBatchedComparison perf harness
+(reference: test/single_batched_comparison.hpp:130-223 + the committed
+820-row output test/output/single_batched_comparison.txt), which calibrated
+the single-QR-on-streams vs batched-Jacobi crossover
+(src/matrix_sizes.cu:14-19).
+
+Here we sweep (block size, batch count) over the projection methods
+available on this backend -- XLA batched eigh and the Newton-Schulz
+polynomial projection -- and write one JSON line per point. The results
+inform bucket rounding and any per-bucket method override.
+
+Usage: python benchmarks/eig_sweep.py [--out eig_sweep.jsonl] [--dtype float32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def ns_project(mats: jax.Array, iters: int = 24) -> jax.Array:
+    """PSD projection via Newton-Schulz sign iteration (matmuls only)."""
+    nrm = jnp.sqrt(jnp.sum(mats * mats, axis=(-1, -2), keepdims=True)) + 1e-30
+    y = mats / nrm
+    for _ in range(iters):
+        y2 = jnp.matmul(y, y, precision="highest")
+        y = 1.5 * y - 0.5 * jnp.matmul(y, y2, precision="highest")
+    return 0.5 * (mats + jnp.matmul(y, mats, precision="highest"))
+
+
+def eigh_project(mats: jax.Array) -> jax.Array:
+    w, v = jnp.linalg.eigh(mats)
+    return jnp.einsum(
+        "bij,bj,bkj->bik", v, jnp.maximum(w, 0), v, preferred_element_type=v.dtype
+    )
+
+
+def timeit(f, x, k: int = 16) -> float:
+    """Average seconds per op; loops inside jit to amortize dispatch."""
+
+    @jax.jit
+    def g(x):
+        def body(i, acc):
+            return f(acc) * 0.5 + acc * 0.5
+
+        return jax.lax.fori_loop(0, k, body, x).sum()
+
+    float(g(x))  # compile
+    t0 = time.perf_counter()
+    float(g(x))
+    return (time.perf_counter() - t0) / k
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="benchmarks/eig_sweep.jsonl")
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--sizes", default="2,4,8,16,32,64,128,256")
+    ap.add_argument("--batches", default="1,8,64,512,4096")
+    ap.add_argument("--max-elems", type=int, default=int(3e7))
+    args = ap.parse_args()
+
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.dtype(args.dtype)
+    key = jax.random.PRNGKey(0)
+
+    rows = []
+    for n in map(int, args.sizes.split(",")):
+        for b in map(int, args.batches.split(",")):
+            if b * n * n > args.max_elems:
+                continue
+            m = jax.random.normal(key, (b, n, n), dtype=dtype)
+            m = (m + m.transpose(0, 2, 1)) / 2
+            row = {"n": n, "batch": b, "dtype": args.dtype}
+            row["eigh_ms"] = timeit(eigh_project, m) * 1e3
+            row["ns24_ms"] = timeit(ns_project, m) * 1e3
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    with open(args.out, "w") as f:
+        for row in rows:
+            f.write(json.dumps(row) + "\n")
+    print(f"wrote {len(rows)} rows to {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

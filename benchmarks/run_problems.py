@@ -1,0 +1,127 @@
+"""Benchmark table runner: solve the reference problem set and record
+wall-clock / iterations / objectives (regenerates BASELINE.md-style rows).
+
+Usage:
+  python benchmarks/run_problems.py [--dtype float32] [--problems truss5,...]
+                                    [--out benchmarks/results.jsonl]
+
+Problems resolve against the read-only reference data tree. The reference's
+published numbers (examples/benchmarks/benchmarks.csv + logs) are included
+as `ref_*` fields where known.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference/examples"
+
+# name -> (loader-kind, path, reference seconds / s-per-iter where known)
+PROBLEMS = {
+    "truss5": ("txt", f"{REF}/dimacs/data/TXT/truss5", {}),
+    "truss8": ("txt", f"{REF}/dimacs/data/TXT/truss8", {}),
+    "cnhil10": ("txt", f"{REF}/plato/TXT/cnhil10", {"ref_total_s": 3.1, "ref_s_per_iter": 0.0230}),
+    "rose13": ("txt", f"{REF}/plato/TXT/rose13", {"ref_total_s": 210.7, "ref_s_per_iter": 0.0035}),
+    "ros_2000": ("txt", f"{REF}/plato/TXT/ros_2000", {"ref_total_s": 3.4}),
+    "1dc.1024": ("txt", f"{REF}/plato/TXT/1dc.1024", {"ref_total_s": 22.1, "ref_s_per_iter": 0.0624}),
+    "biggs": ("txt", f"{REF}/plato/TXT/biggs", {}),
+    "pusht_n10": (
+        "txt",
+        f"{REF}/SPOT/data/TXT/PushT_N=10_MOMENT",
+        {"ref_total_s": 117.8, "ref_s_per_iter": 0.0163},
+    ),
+    "planarhand_n1": (
+        "mosek",
+        f"{REF}/SPOT/data/MOSEK/PlanarHand_N=1_MOMENT.mat",
+        {"ref_total_s": 54.2, "ref_s_per_iter": 0.0616},
+    ),
+}
+
+
+def load(kind: str, path: str):
+    from cuadmm_tpu import Problem
+    from cuadmm_tpu.io.mosek import load_mosek_mat
+
+    if kind == "txt":
+        return Problem.from_txt(path)
+    if kind == "mosek":
+        return load_mosek_mat(path)
+    raise ValueError(kind)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--problems", default=",".join(PROBLEMS))
+    ap.add_argument("--out", default="benchmarks/results.jsonl")
+    ap.add_argument("--stop-tol", type=float, default=1e-3)
+    ap.add_argument("--max-iter", type=int, default=100_000)
+    ap.add_argument("--sig", type=float, default=None, help="default: 200 for moment problems, 1 otherwise")
+    ap.add_argument("--check-every", type=int, default=100)
+    ap.add_argument("--cache-dir", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    cache = args.cache_dir or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    from cuadmm_tpu import SDPSolver, SolverConfig
+
+    rows = []
+    for name in args.problems.split(","):
+        kind, path, ref = PROBLEMS[name]
+        prob = load(kind, path)
+        sig = args.sig if args.sig is not None else (200.0 if "MOMENT" in path else 1.0)
+        cfg = SolverConfig(
+            dtype=args.dtype,
+            stop_tol=args.stop_tol,
+            verbose=False,
+            check_every=args.check_every,
+            sig=sig,
+        )
+        t0 = time.perf_counter()
+        solver = SDPSolver(prob, cfg)
+        init_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = solver.solve(max_iter=args.max_iter)
+        solve_s = time.perf_counter() - t0
+        row = {
+            "problem": name,
+            "dtype": args.dtype,
+            "converged": res.converged,
+            "iterations": res.iterations,
+            "solve_s": round(solve_s, 2),
+            "init_s": round(init_s, 2),
+            "s_per_iter": round(solve_s / max(res.iterations, 1), 5),
+            "pobj": res.pobj,
+            "dobj": res.dobj,
+            "errRp": res.errRp,
+            "errRd": res.errRd,
+            "relgap": res.relgap,
+            "neq_mode": solver.params.neq.mode,
+            **ref,
+        }
+        if "ref_total_s" in ref:
+            row["speedup_total"] = round(ref["ref_total_s"] / max(solve_s, 1e-9), 2)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    with open(args.out, "w") as f:
+        for row in rows:
+            f.write(json.dumps(row) + "\n")
+
+
+if __name__ == "__main__":
+    main()

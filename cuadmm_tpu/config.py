@@ -87,6 +87,10 @@ class SolverConfig:
     cg_max_iter: int = 400
     aat_eps: float = 1e-15  # diagonal regularization of AA^T (reference: src/solver.cu:94)
 
+    # Low-rank projection: keep only the top-k eigenvalues per block
+    # (working version of the reference's get_eig_rank_mask experiment).
+    eig_rank: int | None = None
+
     # Logging.
     verbose: bool = True
 

@@ -32,9 +32,20 @@ def xla_eigh(mats: jax.Array):
     return jnp.linalg.eigh(mats)
 
 
-def reconstruct_clamped(w: jax.Array, v: jax.Array) -> jax.Array:
-    """P = V diag(max(w, 0)) V^T, batched (one MXU einsum)."""
+def reconstruct_clamped(
+    w: jax.Array, v: jax.Array, eig_rank: Optional[int] = None
+) -> jax.Array:
+    """P = V diag(max(w, 0)) V^T, batched (one MXU einsum).
+
+    With ``eig_rank`` r, only the r largest eigenvalues survive -- a
+    working version of the reference's low-rank projection experiment
+    (get_eig_rank_mask, src/utils/get_eig_rank_mask.cu:16-38; its
+    application is commented out at duo_solver.cu:843-855). eigh returns
+    ascending eigenvalues, so top-r = the trailing r entries.
+    """
     wc = jnp.maximum(w, 0.0)
+    if eig_rank is not None and eig_rank < w.shape[-1]:
+        wc = wc.at[..., : w.shape[-1] - eig_rank].set(0.0)
     return jnp.einsum(
         "bij,bj,bkj->bik", v, wc, v, preferred_element_type=v.dtype
     )
@@ -45,6 +56,7 @@ def psd_project(
     maps: Dict[str, Any],
     eigh_by_bucket: Optional[Dict[int, EighFn]] = None,
     mesh=None,
+    eig_rank: Optional[int] = None,
 ) -> jax.Array:
     """Project svec vector Xb onto the product cone.
 
@@ -74,5 +86,5 @@ def psd_project(
         bt = shard_blocks(bt, mesh)
         fn = (eigh_by_bucket or {}).get(i, xla_eigh)
         w, v = fn(bt)
-        projected.append(shard_blocks(reconstruct_clamped(w, v), mesh))
+        projected.append(shard_blocks(reconstruct_clamped(w, v, eig_rank), mesh))
     return blocks_to_svec(projected, Xb, maps)

@@ -230,6 +230,7 @@ class SDPSolver:
             sig_max=cfg.sig_max,
             eigh_by_bucket=self._eigh_by_bucket,
             mesh=self.mesh,
+            eig_rank=cfg.eig_rank,
         )
 
         log = IterLogger(enabled=cfg.verbose)

@@ -44,6 +44,7 @@ def make_step(
     sig_max: float,
     eigh_by_bucket: Optional[Dict[int, Any]] = None,
     mesh=None,
+    eig_rank: Optional[int] = None,
 ):
     """Build the iteration body with static algorithm constants baked in."""
 
@@ -62,7 +63,7 @@ def make_step(
             Aty = spmv_at(sa, y_half)
             Rd1 = Aty - params.C
             Xb = state.X + sig * Rd1
-            Xproj = psd_project(Xb, params.maps, eigh_by_bucket, mesh=mesh)
+            Xproj = psd_project(Xb, params.maps, eigh_by_bucket, mesh=mesh, eig_rank=eig_rank)
             S = (Xproj - state.X) / sig - Rd1
             SmC = S - params.C
 

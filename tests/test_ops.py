@@ -135,3 +135,25 @@ def test_normal_solver_semidefinite():
     rhs = np.array([1.0, 1.0, 1.0, 1.0])
     sol = np.asarray(neq.solve(jnp.asarray(rhs)))
     assert np.all(np.isfinite(sol))
+
+
+def test_eig_rank_low_rank_projection():
+    """Top-k eigenvalue mask (reference get_eig_rank_mask analog)."""
+    rng = np.random.default_rng(8)
+    blk = [("s", 6)]
+    st = BlockStructure(blk)
+    x = rng.standard_normal(st.vec_len) * 2
+    maps = device_maps(st, jnp.float64)
+    xp = np.asarray(psd_project(jnp.asarray(x), maps, eig_rank=2))
+    # NumPy reference: keep only the 2 largest clamped eigenvalues.
+    r, c = np.tril_indices(6)
+    m = np.zeros((6, 6))
+    sc = np.where(r == c, 1.0, 1 / np.sqrt(2))
+    m[r, c] = x * sc
+    m[c, r] = x * sc
+    w, v = np.linalg.eigh(m)
+    wc = np.maximum(w, 0)
+    wc[:-2] = 0
+    p = (v * wc) @ v.T
+    expected = p[r, c] * np.where(r == c, 1.0, np.sqrt(2))
+    np.testing.assert_allclose(xp, expected, atol=1e-10)
