@@ -46,6 +46,12 @@ class SolverConfig:
       syevjBatched/Xsyevd call per size class, src/solver.cu:540-592).
     - ``exact_above``: with "pow2" rounding, block sizes above this are
       never padded (padding large eigh is wasted FLOPs).
+    - ``pack_to``: pack PSD blocks of size <= pack_to/2 along the diagonals
+      of pack_to x pack_to super-matrices before eigh (exact: spectral
+      functions respect block-diagonal structure). Turns thousands of tiny
+      eigh problems into a few MXU-shaped ones. None = auto (128 on TPU,
+      off elsewhere), 0 = off. Ignored when ``eig_rank`` is set (top-k
+      per block is not preserved under packing).
     - ``normal_solver``: how (AA^T) y = rhs is solved each iteration.
       "dense" = one-time device Cholesky factorization + two triangular
       solves per application (fully on device, no host round trips --
@@ -81,6 +87,12 @@ class SolverConfig:
     check_every: int = 50
     bucket_rounding: str = "pow2"
     exact_above: int = 64
+    pack_to: Optional[int] = None
+    # PSD projection backend: "eigh" (batched eigendecomposition),
+    # "poly" (matmul-only composite polynomial sign filter,
+    # ops/polyfilter.py), or "auto" (poly on TPU, eigh elsewhere).
+    # eig_rank forces eigh.
+    projection: str = "auto"
     normal_solver: str = "auto"
     dense_chol_max: int = 32768
     cg_tol: float = 1e-12
@@ -101,6 +113,8 @@ class SolverConfig:
             raise ValueError(f"bucket_rounding must be pow2 or exact, got {self.bucket_rounding}")
         if self.normal_solver not in ("auto", "dense", "inv", "cg", "host"):
             raise ValueError(f"unknown normal_solver {self.normal_solver}")
+        if self.projection not in ("auto", "eigh", "poly"):
+            raise ValueError(f"unknown projection {self.projection}")
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

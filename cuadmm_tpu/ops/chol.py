@@ -22,6 +22,7 @@ All three expose ``solve(rhs, warm)`` usable inside jit.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -197,6 +198,39 @@ def _device_factorize(
             raise RuntimeError("AA^T Cholesky failed even with jitter 1e-2")
 
 
+def _blocked_tri_inv(L: jax.Array, base: int = 512) -> jax.Array:
+    """Explicit inverse of a lower-triangular matrix by recursive blocking.
+
+    inv([[A,0],[B,C]]) = [[inv(A),0],[-inv(C) B inv(A), inv(C)]] -- all
+    matmuls, so the MXU does the work. XLA's solve_triangular on a large
+    (n, n) identity RHS unrolls into O(n/128) full-width temporaries and
+    OOMs around n~17k; this stays at O(n^2) memory.
+    """
+    n = L.shape[0]
+    if n <= base:
+        return jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(n, dtype=L.dtype), lower=True
+        )
+    m = ((n // 2) + 127) // 128 * 128
+    if m >= n:
+        m = n // 2
+    a_inv = _blocked_tri_inv(L[:m, :m], base)
+    c_inv = _blocked_tri_inv(L[m:, m:], base)
+    off = -c_inv @ (L[m:, :m] @ a_inv)
+    top = jnp.concatenate([a_inv, jnp.zeros((m, n - m), L.dtype)], axis=1)
+    bot = jnp.concatenate([off, c_inv], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _spd_inv_from_chol(L: jax.Array) -> jax.Array:
+    """inv(L L^T) = L^{-T} L^{-1}, built without giant TRSM temporaries."""
+    li = _blocked_tri_inv(L)
+    return jax.lax.dot_general(
+        li, li, (((0,), (0,)), ((), ())), precision="highest"
+    )
+
+
 def build_normal_solver(
     at_svec_idx: np.ndarray,
     at_con_idx: np.ndarray,
@@ -230,11 +264,7 @@ def build_normal_solver(
         )
         inv_m = None
         if mode == "inv":
-            inv_m = jax.jit(
-                lambda L: jax.scipy.linalg.cho_solve(
-                    (L, True), jnp.eye(L.shape[0], dtype=L.dtype)
-                )
-            )(l)
+            inv_m = _spd_inv_from_chol(l)
             l = None
         return NormalEqSolver(
             mode=mode,

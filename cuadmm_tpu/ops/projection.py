@@ -57,6 +57,7 @@ def psd_project(
     eigh_by_bucket: Optional[Dict[int, EighFn]] = None,
     mesh=None,
     eig_rank: Optional[int] = None,
+    method: str = "eigh",
 ) -> jax.Array:
     """Project svec vector Xb onto the product cone.
 
@@ -84,7 +85,15 @@ def psd_project(
             projected.append(jnp.maximum(bt, 0.0))
             continue
         bt = shard_blocks(bt, mesh)
-        fn = (eigh_by_bucket or {}).get(i, xla_eigh)
-        w, v = fn(bt)
-        projected.append(shard_blocks(reconstruct_clamped(w, v, eig_rank), mesh))
+        if method == "poly" and (eigh_by_bucket or {}).get(i) is None:
+            # Matmul-only composite polynomial filter (ops/polyfilter.py):
+            # no eigendecomposition; every FLOP on the MXU.
+            from cuadmm_tpu.ops.polyfilter import psd_project_poly
+
+            proj = psd_project_poly(bt)
+        else:
+            fn = (eigh_by_bucket or {}).get(i, xla_eigh)
+            w, v = fn(bt)
+            proj = reconstruct_clamped(w, v, eig_rank)
+        projected.append(shard_blocks(proj, mesh))
     return blocks_to_svec(projected, Xb, maps)

@@ -83,7 +83,19 @@ class SDPSolver:
         prob, cfg = self.problem, self.config
         t0 = time.perf_counter()
 
-        self.structure = BlockStructure(prob.blk, cfg.bucket_rounding, cfg.exact_above)
+        self._projection = cfg.projection
+        if self._projection == "auto":
+            self._projection = "poly" if jax.default_backend() == "tpu" else "eigh"
+        if cfg.eig_rank is not None:
+            self._projection = "eigh"  # top-k needs explicit eigenvalues
+        pack_to = cfg.pack_to
+        if pack_to is None:
+            pack_to = 128 if jax.default_backend() == "tpu" else 0
+        if cfg.eig_rank is not None:
+            pack_to = 0  # per-block top-k is not preserved under packing
+        self.structure = BlockStructure(
+            prob.blk, cfg.bucket_rounding, cfg.exact_above, pack_to
+        )
         if self.structure.vec_len != prob.vec_len:
             raise ValueError("block structure does not match problem vec_len")
         vec_len, con_num = prob.vec_len, prob.con_num
@@ -231,6 +243,7 @@ class SDPSolver:
             eigh_by_bucket=self._eigh_by_bucket,
             mesh=self.mesh,
             eig_rank=cfg.eig_rank,
+            projection=self._projection,
         )
 
         log = IterLogger(enabled=cfg.verbose)

@@ -45,6 +45,7 @@ def make_step(
     eigh_by_bucket: Optional[Dict[int, Any]] = None,
     mesh=None,
     eig_rank: Optional[int] = None,
+    projection: str = "eigh",
 ):
     """Build the iteration body with static algorithm constants baked in."""
 
@@ -63,7 +64,14 @@ def make_step(
             Aty = spmv_at(sa, y_half)
             Rd1 = Aty - params.C
             Xb = state.X + sig * Rd1
-            Xproj = psd_project(Xb, params.maps, eigh_by_bucket, mesh=mesh, eig_rank=eig_rank)
+            Xproj = psd_project(
+                Xb,
+                params.maps,
+                eigh_by_bucket,
+                mesh=mesh,
+                eig_rank=eig_rank,
+                method=projection,
+            )
             S = (Xproj - state.X) / sig - Rd1
             SmC = S - params.C
 

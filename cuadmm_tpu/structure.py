@@ -17,6 +17,13 @@ Design differences from the reference, driven by the hardware:
   precomputed index/scale tables (gathers vectorize better than scatters on
   TPU). The matrices->svec direction gathers through a flattened
   concatenation of all bucket tensors via one global inverse permutation.
+- **Block-diagonal packing** (``pack_to``): many small PSD blocks are
+  packed along the diagonal of a few pack_to x pack_to "super-matrices".
+  Spectral functions respect block-diagonal structure
+  (f(blkdiag(M1,M2)) = blkdiag(f(M1),f(M2))), so the PSD projection stays
+  exact while eigh runs over MXU-friendly shapes instead of thousands of
+  tiny matrices. This replaces the reference's batched-Jacobi small path
+  (DsyevjBatched, cusolver.h:154-170) with something no GPU API offers.
 - Free ('u') blocks -- WIP in the reference (README.md block table) -- are
   fully supported: their svec segment passes through the projection
   unchanged, which automatically yields S = 0 on the free cone.
@@ -52,11 +59,12 @@ def round_block_size(n: int, rounding: str, exact_above: int) -> int:
 
 @dataclasses.dataclass
 class Bucket:
-    """One batched pool of equally-padded PSD blocks.
+    """One batched pool of equally-padded PSD (super-)blocks.
 
     gather_idx/gather_scale implement svec -> dense blocks: given X_ext
     (X with a trailing 0 sentinel), ``mats = X_ext[gather_idx] * gather_scale``
-    yields the (count, n, n) symmetric block tensor.
+    yields the (count, n, n) symmetric block tensor. With packing, each
+    entry holds several real blocks along its diagonal.
 
     pool_pos/out_scale/svec_pos implement the reverse: the bucket's svec
     entries are ``mats.reshape(-1)[pool_pos] * out_scale`` and live at
@@ -65,7 +73,7 @@ class Bucket:
 
     n: int
     count: int
-    sizes: np.ndarray  # (count,) actual (unpadded) block sizes
+    sizes: np.ndarray  # (count,) total occupied diagonal extent per entry
     gather_idx: np.ndarray  # (count, n, n) int32
     gather_scale: np.ndarray  # (count, n, n) float64
     pool_pos: np.ndarray  # (tri_total,) int64
@@ -93,21 +101,29 @@ class BlockStructure:
         blk: Sequence[Tuple[str, int]],
         rounding: str = "pow2",
         exact_above: int = 64,
+        pack_to: int = 0,
     ):
         self.blk = list(blk)
         self.rounding = rounding
         self.exact_above = exact_above
+        self.pack_to = pack_to
 
-        # Pass 1: svec offsets per block and bucket membership.
-        bucket_blocks: Dict[int, List[Tuple[int, int]]] = {}  # n_pad -> [(offset, n)]
+        # Pass 1: svec offsets per block; bucket membership. A bucket entry
+        # is a *group* of blocks laid along one super-matrix diagonal
+        # (singleton groups when not packing).
+        bucket_groups: Dict[int, List[List[Tuple[int, int]]]] = {}
+        packable: List[Tuple[int, int]] = []  # (offset, n)
         free_segments: List[Tuple[int, int]] = []  # (offset, n)
         offset = 0
         for t, n in self.blk:
             if n <= 0:
                 raise ValueError(f"block size must be positive, got {n}")
             if t == "s":
-                n_pad = round_block_size(n, rounding, exact_above)
-                bucket_blocks.setdefault(n_pad, []).append((offset, n))
+                if pack_to and 1 < n <= pack_to // 2:
+                    packable.append((offset, n))
+                else:
+                    n_pad = round_block_size(n, rounding, exact_above)
+                    bucket_groups.setdefault(n_pad, []).append([(offset, n)])
                 offset += n * (n + 1) // 2
             elif t == "u":
                 free_segments.append((offset, n))
@@ -116,32 +132,55 @@ class BlockStructure:
                 raise ValueError(f"unknown block type {t!r}")
         self.vec_len = offset
 
+        # First-fit-decreasing bin packing of small blocks into pack_to-wide
+        # super-matrices (the analog of the reference's small-block pools,
+        # src/matrix_sizes.cu:22-114, but diagonal-packed instead of
+        # batch-stacked).
+        if packable:
+            packable.sort(key=lambda on: -on[1])
+            bins: List[List[Tuple[int, int]]] = []
+            remaining = np.empty(0, dtype=np.int64)
+            for off, n in packable:
+                fit = np.nonzero(remaining >= n)[0]
+                if fit.size:
+                    i = int(fit[0])
+                    bins[i].append((off, n))
+                    remaining[i] -= n
+                else:
+                    bins.append([(off, n)])
+                    remaining = np.append(remaining, pack_to - n)
+            bucket_groups.setdefault(pack_to, []).extend(bins)
+
         # Pass 2: build per-bucket gather tables.
         self.buckets: List[Bucket] = []
-        for n_pad in sorted(bucket_blocks):
-            blocks = bucket_blocks[n_pad]
-            count = len(blocks)
+        for n_pad in sorted(bucket_groups):
+            groups = bucket_groups[n_pad]
+            count = len(groups)
             gidx = np.full((count, n_pad, n_pad), self.vec_len, dtype=np.int64)
             gscale = np.zeros((count, n_pad, n_pad), dtype=np.float64)
             pool_pos_parts: List[np.ndarray] = []
             out_scale_parts: List[np.ndarray] = []
             svec_pos_parts: List[np.ndarray] = []
             sizes = np.empty(count, dtype=np.int32)
-            for b, (off, n) in enumerate(blocks):
-                sizes[b] = n
-                rows, cols = np.tril_indices(n)  # row-major lower triangle
-                tri = np.arange(len(rows)) + off  # global svec indices
-                # svec -> matrix: fill both (r,c) and (c,r).
-                gidx[b, rows, cols] = tri
-                gidx[b, cols, rows] = tri
-                sc = np.where(rows == cols, 1.0, SQRT2INV)
-                gscale[b, rows, cols] = sc
-                gscale[b, cols, rows] = sc
-                # matrix -> svec: gather the lower triangle back.
-                flat = b * n_pad * n_pad + rows * n_pad + cols
-                pool_pos_parts.append(flat)
-                out_scale_parts.append(np.where(rows == cols, 1.0, SQRT2))
-                svec_pos_parts.append(tri)
+            for b, group in enumerate(groups):
+                d = 0  # diagonal offset inside the super-matrix
+                for off, n in group:
+                    rows, cols = np.tril_indices(n)  # row-major lower tri
+                    tri = np.arange(len(rows)) + off  # global svec indices
+                    r, c = rows + d, cols + d
+                    # svec -> matrix: fill both (r,c) and (c,r).
+                    gidx[b, r, c] = tri
+                    gidx[b, c, r] = tri
+                    sc = np.where(rows == cols, 1.0, SQRT2INV)
+                    gscale[b, r, c] = sc
+                    gscale[b, c, r] = sc
+                    # matrix -> svec: gather the lower triangle back.
+                    flat = b * n_pad * n_pad + r * n_pad + c
+                    pool_pos_parts.append(flat)
+                    out_scale_parts.append(np.where(rows == cols, 1.0, SQRT2))
+                    svec_pos_parts.append(tri)
+                    d += n
+                sizes[b] = d
             self.buckets.append(
                 Bucket(
                     n=n_pad,

@@ -118,3 +118,17 @@ def test_truss5_reference_problem():
     assert res.converged
     assert abs(res.pobj - 132.6356895) / 132.6 < 5e-3
     assert abs(res.dobj - 132.6356895) / 132.6 < 5e-3
+
+
+def test_packed_projection_same_solve():
+    """pack_to must not change the algorithm: same iterate trajectory."""
+    blk = [("s", 6), ("s", 4), ("s", 6), ("s", 3)]
+    prob, *_ = random_certified_sdp(blk, con_num=12, seed=5)
+    cfg = SolverConfig(verbose=False, check_every=25, switch_admm=10**9)
+    res0 = SDPSolver(prob, cfg.replace(pack_to=0)).solve(max_iter=500, stop_tol=1e-6)
+    res1 = SDPSolver(prob, cfg.replace(pack_to=16)).solve(max_iter=500, stop_tol=1e-6)
+    assert res0.iterations == res1.iterations
+    np.testing.assert_allclose(res1.X, res0.X, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        res1.info["errRp"], res0.info["errRp"], rtol=1e-6, atol=1e-12
+    )

@@ -125,3 +125,41 @@ def test_mixed_sizes_bucketing():
     maps = device_maps(st, jnp.float64)
     x2 = np.asarray(blocks_to_svec(svec_to_blocks(jnp.asarray(x), maps), jnp.asarray(x), maps))
     np.testing.assert_allclose(x2, x, rtol=1e-13)
+
+
+def test_packed_roundtrip_and_projection():
+    """Diagonal packing: svec round-trip exact, projection equals unpacked."""
+    from cuadmm_tpu.ops.projection import psd_project
+
+    blk = [("s", n) for n in [3, 5, 2, 7, 4, 4, 6, 2, 2, 3]] + [("u", 3), ("s", 1)]
+    st0 = BlockStructure(blk, rounding="pow2")
+    st1 = BlockStructure(blk, rounding="pow2", pack_to=16)
+    assert st0.vec_len == st1.vec_len
+    # Packing collapses everything <= 8 into n=16 supers.
+    packed = [bk for bk in st1.buckets if bk.n == 16]
+    assert packed and packed[0].count < sum(
+        bk.count for bk in st0.buckets if 1 < bk.n <= 8
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(st0.vec_len)
+    m0 = device_maps(st0, jnp.float64)
+    m1 = device_maps(st1, jnp.float64)
+    x1 = np.asarray(blocks_to_svec(svec_to_blocks(jnp.asarray(x), m1), jnp.asarray(x), m1))
+    np.testing.assert_allclose(x1, x, rtol=1e-13, atol=1e-13)
+
+    p0 = np.asarray(psd_project(jnp.asarray(x), m0))
+    p1 = np.asarray(psd_project(jnp.asarray(x), m1))
+    np.testing.assert_allclose(p1, p0, rtol=1e-9, atol=1e-9)
+
+
+def test_packed_bins_capacity():
+    """No super-matrix overflows pack_to; all packable blocks are placed."""
+    rng = np.random.default_rng(11)
+    sizes = rng.integers(2, 33, size=200)
+    blk = [("s", int(n)) for n in sizes]
+    st = BlockStructure(blk, pack_to=64)
+    packed = [bk for bk in st.buckets if bk.n == 64]
+    assert len(packed) == 1
+    assert packed[0].sizes.max() <= 64
+    assert packed[0].sizes.sum() == sizes.sum()
