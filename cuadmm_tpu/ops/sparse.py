@@ -4,9 +4,14 @@ TPU-native replacement of the cuSPARSE wrappers (reference:
 include/cuadmm/cusparse.h:16-132) and the A-normalization kernel
 (reference: src/kernels/sparse_matrix_norm.cu:11-44).
 
-A is stored as sorted COO twice -- once constraint-major for A @ x, once
-svec-major for A^T @ y -- and both matvecs are a gather + segment_sum,
-which XLA lowers to efficient sorted-segment reductions.
+Layout: **bucketed ELL**. XLA lowers COO segment-sums to scatters, which
+serialize on TPU; instead, rows are grouped into power-of-two-width
+buckets, each stored as padded (rows, width) index/value tables. A matvec
+is then, per bucket, a gather + elementwise multiply + lane reduction --
+no scatter anywhere -- followed by one precomputed inverse-permutation
+gather that places bucket outputs back in row order. Rows with wildly
+different populations (moment SDPs have a few thousand-entry rows next to
+thousands of singletons) cost only their own bucket's padding.
 """
 
 from __future__ import annotations
@@ -20,29 +25,104 @@ import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
-class SparseA:
-    """Both orderings of the (con_num x vec_len) constraint matrix A.
+class EllTable:
+    """One direction (A or A^T) of the matvec in bucketed-ELL form.
 
-    ``row`` = constraint index, ``col`` = svec index. The ``a_*`` arrays are
-    sorted by row (for A @ x), the ``at_*`` arrays by col (for A^T @ y).
-    A pytree: array fields are leaves, sizes are static.
+    ``idx[b]``: (R_b, K_b) gather indices into the *extended* input vector
+    (input with one trailing zero sentinel; padding slots point there).
+    ``vals[b]``: matching values, zero-padded. ``out_perm``: (out_len,)
+    gather from the concatenation of all bucket partial sums plus a
+    trailing zero (empty rows point there).
     """
 
-    a_rows: jax.Array
-    a_cols: jax.Array
-    a_vals: jax.Array
-    at_rows: jax.Array
-    at_cols: jax.Array
-    at_vals: jax.Array
+    idx: Tuple[jax.Array, ...]
+    vals: Tuple[jax.Array, ...]
+    out_perm: jax.Array
+    in_len: int = dataclasses.field(metadata=dict(static=True))
+    out_len: int = dataclasses.field(metadata=dict(static=True))
+
+
+jax.tree_util.register_dataclass(
+    EllTable,
+    data_fields=["idx", "vals", "out_perm"],
+    meta_fields=["in_len", "out_len"],
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseA:
+    """The (con_num x vec_len) constraint matrix A, both directions."""
+
+    a: EllTable  # A @ x
+    at: EllTable  # A^T @ y
     con_num: int = dataclasses.field(metadata=dict(static=True))
     vec_len: int = dataclasses.field(metadata=dict(static=True))
 
 
 jax.tree_util.register_dataclass(
-    SparseA,
-    data_fields=["a_rows", "a_cols", "a_vals", "at_rows", "at_cols", "at_vals"],
-    meta_fields=["con_num", "vec_len"],
+    SparseA, data_fields=["a", "at"], meta_fields=["con_num", "vec_len"]
 )
+
+
+def _build_ell(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    out_len: int,
+    in_len: int,
+    dtype,
+    min_bucket_rows: int = 256,
+) -> EllTable:
+    """Bucketed ELL from COO (rows -> output axis, cols -> input axis)."""
+    counts = np.bincount(rows, minlength=out_len)
+    order = np.argsort(rows, kind="stable")
+    rows_s, cols_s, vals_s = rows[order], cols[order], vals[order]
+    row_start = np.zeros(out_len + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_start[1:])
+
+    nonempty = np.nonzero(counts)[0]
+    ne_counts = counts[nonempty]
+    # Power-of-two target widths; buckets with too few rows merge upward.
+    widths = np.maximum(1, 2 ** np.ceil(np.log2(ne_counts)).astype(np.int64))
+    uniq = np.sort(np.unique(widths))
+    for i, w in enumerate(uniq):
+        n_rows = int(np.sum(widths == w))
+        # Merge thin buckets into the next width up (fewer ops), but only
+        # while the padding stays cheap (<= 4x wider).
+        if n_rows and n_rows < min_bucket_rows and i + 1 < len(uniq) and uniq[i + 1] <= 4 * w:
+            widths[widths == w] = uniq[i + 1]
+
+    idx_list, val_list, out_pos_list = [], [], []
+    base = 0
+    for w in sorted(set(int(x) for x in widths)):
+        sel = nonempty[widths == w]
+        if not len(sel):
+            continue
+        r = len(sel)
+        k = int(w)
+        gi = np.full((r, k), in_len, dtype=np.int64)
+        gv = np.zeros((r, k), dtype=np.float64)
+        for j, row in enumerate(sel):
+            s, e = row_start[row], row_start[row + 1]
+            gi[j, : e - s] = cols_s[s:e]
+            gv[j, : e - s] = vals_s[s:e]
+        idx_list.append(gi)
+        val_list.append(gv)
+        out_pos_list.append((sel, base + np.arange(r)))
+        base += r
+
+    out_perm = np.full(out_len, base, dtype=np.int64)  # sentinel = base
+    for sel, pos in out_pos_list:
+        out_perm[sel] = pos
+
+    itype = jnp.int32 if max(in_len, base + 1) < 2**31 - 1 else jnp.int64
+    return EllTable(
+        idx=tuple(jnp.asarray(g, itype) for g in idx_list),
+        vals=tuple(jnp.asarray(v, dtype) for v in val_list),
+        out_perm=jnp.asarray(out_perm, itype),
+        in_len=int(in_len),
+        out_len=int(out_len),
+    )
 
 
 def build_sparse_a(
@@ -53,50 +133,40 @@ def build_sparse_a(
     vec_len: int,
     dtype,
 ) -> SparseA:
-    """Build both orderings from A^T COO triplets (svec_idx, con_idx, val)."""
-    # Constraint-major (sort by con, then svec).
-    p = np.lexsort((at_svec_idx, at_con_idx))
-    a_rows, a_cols, a_vals = at_con_idx[p], at_svec_idx[p], vals[p]
-    # svec-major.
-    p = np.lexsort((at_con_idx, at_svec_idx))
-    t_rows, t_cols, t_vals = at_con_idx[p], at_svec_idx[p], vals[p]
+    """Build both matvec directions from A^T COO triplets
+    (svec_idx, con_idx, val)."""
     return SparseA(
-        a_rows=jnp.asarray(a_rows, dtype=jnp.int32),
-        a_cols=jnp.asarray(a_cols, dtype=jnp.int32),
-        a_vals=jnp.asarray(a_vals, dtype=dtype),
-        at_rows=jnp.asarray(t_rows, dtype=jnp.int32),
-        at_cols=jnp.asarray(t_cols, dtype=jnp.int32),
-        at_vals=jnp.asarray(t_vals, dtype=dtype),
+        a=_build_ell(at_con_idx, at_svec_idx, vals, con_num, vec_len, dtype),
+        at=_build_ell(at_svec_idx, at_con_idx, vals, vec_len, con_num, dtype),
         con_num=int(con_num),
         vec_len=int(vec_len),
     )
 
 
+def _ell_matvec(t: EllTable, x: jax.Array) -> jax.Array:
+    x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+    parts = [
+        jnp.sum(v * x_ext[i], axis=1) for i, v in zip(t.idx, t.vals)
+    ]
+    parts.append(jnp.zeros((1,), x.dtype))  # sentinel for empty rows
+    cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return cat[t.out_perm]
+
+
 def spmv_a(sa: SparseA, x: jax.Array) -> jax.Array:
     """A @ x: (vec_len,) -> (con_num,)."""
-    return jax.ops.segment_sum(
-        sa.a_vals * x[sa.a_cols],
-        sa.a_rows,
-        num_segments=sa.con_num,
-        indices_are_sorted=True,
-    )
+    return _ell_matvec(sa.a, x)
 
 
 def spmv_at(sa: SparseA, y: jax.Array) -> jax.Array:
     """A^T @ y: (con_num,) -> (vec_len,)."""
-    return jax.ops.segment_sum(
-        sa.at_vals * y[sa.at_rows],
-        sa.at_cols,
-        num_segments=sa.vec_len,
-        indices_are_sorted=True,
-    )
+    return _ell_matvec(sa.at, y)
 
 
 def normalize_rows(
     at_svec_idx: np.ndarray, at_con_idx: np.ndarray, vals: np.ndarray, con_num: int
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-constraint 2-norms of A, clamped >= 1, and A normalized in place
-    semantics (returns the scaled values).
+    """Per-constraint 2-norms of A, clamped >= 1, and the normalized values.
 
     Reference: src/kernels/sparse_matrix_norm.cu:11-44 (norms of the CSC
     columns of A^T, i.e. rows of A).

@@ -157,3 +157,27 @@ def test_eig_rank_low_rank_projection():
     p = (v * wc) @ v.T
     expected = p[r, c] * np.where(r == c, 1.0, np.sqrt(2))
     np.testing.assert_allclose(xp, expected, atol=1e-10)
+
+
+def test_spmv_skewed_row_populations():
+    """Bucketed ELL with a 1000-entry row next to singletons (moment-SDP
+    profile) and empty rows in both directions."""
+    rng = np.random.default_rng(17)
+    con, vec = 700, 900
+    rows = [np.full(1000, 3), rng.integers(0, vec, 800)]
+    cols = [rng.integers(0, con, 1000), rng.integers(0, con, 800)]
+    r = np.concatenate(rows).astype(np.int64)  # svec idx
+    c = np.concatenate(cols).astype(np.int64)  # con idx
+    v = rng.standard_normal(len(r))
+    import scipy.sparse as sp
+
+    At = sp.csr_matrix((v, (r, c)), shape=(vec, con))
+    sa = sparse_ops.build_sparse_a(r, c, v, con, vec, jnp.float64)
+    x = rng.standard_normal(vec)
+    y = rng.standard_normal(con)
+    np.testing.assert_allclose(
+        np.asarray(sparse_ops.spmv_a(sa, jnp.asarray(x))), At.T @ x, rtol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(sparse_ops.spmv_at(sa, jnp.asarray(y))), At @ y, rtol=1e-11
+    )
