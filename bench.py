@@ -9,7 +9,12 @@ The problem: 17150 constraints, 6015 PSD blocks of sizes 1..13,
 vec_len 22825 -- the bucketed batched-eigh profile.
 
 Env knobs:
-  BENCH_DTYPE=float64|float32   (default float64 -- reference parity)
+  BENCH_DTYPE=float64|float32   (default: float32 on TPU -- the TPU-native
+                                 configuration per ARCHITECTURE.md's
+                                 precision strategy (f32 iteration + full-f32
+                                 matmuls + iterative refinement; KKT
+                                 residuals self-certify the accuracy) --
+                                 float64 elsewhere for reference parity)
   BENCH_ITERS=N                 (timed iterations, default 600)
   BENCH_PROBLEM=path            (default PushT N=10)
 """
@@ -21,7 +26,11 @@ import time
 
 import jax
 
-if os.environ.get("BENCH_DTYPE", "float64") == "float64":
+_dtype_env = os.environ.get("BENCH_DTYPE")
+if _dtype_env is None:
+    _dtype_env = "float32" if jax.default_backend() == "tpu" else "float64"
+    os.environ["BENCH_DTYPE"] = _dtype_env
+if _dtype_env == "float64":
     jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the remote-compile service behind the TPU

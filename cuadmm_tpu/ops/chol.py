@@ -145,6 +145,7 @@ def build_aat_host(
 def _device_factorize(
     at_svec_idx, at_con_idx, vals, con_num, vec_len, dtype, eps: float,
     dense_a_build_limit: int = 6 * 1024**3,
+    out_dtype=None,
 ):
     """Build AA^T and its Cholesky factor on device.
 
@@ -152,7 +153,13 @@ def _device_factorize(
     host->device transfer) and form AA^T on the MXU. If dense A would not
     fit, fall back to a host sparse AA^T product (cheap) and ship the dense
     AA^T once.
+
+    ``dtype`` is the factorization arithmetic; ``out_dtype`` (default the
+    same) is what the factor is cast to for downstream solves -- used to
+    factorize in f32 on TPU (f64 Cholesky is software-emulated there and
+    needs ~5x the memory) while iterating in f64.
     """
+    out_dtype = dtype if out_dtype is None else out_dtype
     itemsize = jnp.dtype(dtype).itemsize
     rows = jnp.asarray(at_con_idx, jnp.int32)
     cols = jnp.asarray(at_svec_idx, jnp.int32)
@@ -192,7 +199,7 @@ def _device_factorize(
     while True:
         l, ok = make(cur)
         if bool(ok):
-            return l, cur
+            return l.astype(out_dtype), cur
         cur = max(cur * 1e3, 1e-12 if jnp.dtype(dtype) == jnp.float64 else 1e-6)
         if cur > 1e-2:
             raise RuntimeError("AA^T Cholesky failed even with jitter 1e-2")
@@ -248,23 +255,36 @@ def build_normal_solver(
 ) -> NormalEqSolver:
     """Factorize once at init (reference: src/solver.cu:91-96) and return a
     device-resident solver."""
+    on_tpu = jax.default_backend() == "tpu"
     if mode == "auto":
         if con_num <= dense_chol_max:
-            # f32: explicit inverse (matvec beats TPU triangular solves);
-            # f64: classic Cholesky solves (CPU/parity path).
-            mode = "inv" if jnp.dtype(dtype) == jnp.float32 else "dense"
+            # Explicit inverse on TPU (matvec beats TPU triangular solves,
+            # and f64 Cholesky/TRSM are emulated there); classic Cholesky
+            # solves on CPU (the reference-parity path).
+            mode = "inv" if (jnp.dtype(dtype) == jnp.float32 or on_tpu) else "dense"
         else:
             mode = "cg"
+    # f64 on TPU: factorize in f32 (emulated f64 Cholesky needs ~5x the
+    # memory and OOMs around con_num ~ 12k); refinement below restores the
+    # accuracy against the exact sparse AA^T matvec.
+    fac_dtype = jnp.float32 if (on_tpu and jnp.dtype(dtype) == jnp.float64) else dtype
     if refine_steps is None:
-        refine_steps = 1 if jnp.dtype(dtype) == jnp.float32 else 0
+        refine_steps = 0
+        if jnp.dtype(dtype) == jnp.float32:
+            refine_steps = 1
+        if jnp.dtype(fac_dtype) != jnp.dtype(dtype):
+            refine_steps = 3
 
     if mode in ("dense", "inv"):
+        # For "inv", invert at factorization precision (all matmuls) and
+        # cast only the final inverse; for "dense", cast the factor.
         l, eps_used = _device_factorize(
-            at_svec_idx, at_con_idx, vals, con_num, vec_len, dtype, eps
+            at_svec_idx, at_con_idx, vals, con_num, vec_len, fac_dtype, eps,
+            out_dtype=fac_dtype if mode == "inv" else dtype,
         )
         inv_m = None
         if mode == "inv":
-            inv_m = _spd_inv_from_chol(l)
+            inv_m = _spd_inv_from_chol(l).astype(dtype)
             l = None
         return NormalEqSolver(
             mode=mode,

@@ -216,6 +216,48 @@ class BlockStructure:
         self.psd_dim_total = int(sum(n for t, n in self.blk if t == "s"))
         self.max_block = max((n for t, n in self.blk if t == "s"), default=0)
 
+        # ---- Pool layout ------------------------------------------------
+        # The hot loop stores vec-space state in "pool" coordinates: the
+        # flat concatenation of every bucket's (count, n, n) dense tensor
+        # followed by the free entries. Off-diagonals hold x_svec/sqrt(2)
+        # at BOTH (i,j) and (j,i), so Euclidean dots/norms agree exactly
+        # with svec space and the per-iteration svec<->matrices gathers of
+        # the reference (src/kernels/vec_mat_conversion.cu:11-57) vanish
+        # from the iteration entirely -- the block tensors for eigh are
+        # pure reshapes of pool segments.
+        bases = []
+        base = 0
+        for bk in self.buckets:
+            bases.append(base)
+            base += bk.count * bk.n * bk.n
+        self.bucket_base = np.asarray(bases, dtype=np.int64)
+        self.free_base = base
+        self.pool_len = base + len(self.free_pos)
+
+        itype = np.int32 if self.pool_len < 2**31 - 1 else np.int64
+        # svec index -> pool position of (r,c) [lower] and (c,r) [upper];
+        # equal on the diagonal and for free entries.
+        pool_lo = np.empty(self.vec_len, dtype=np.int64)
+        pool_hi = np.empty(self.vec_len, dtype=np.int64)
+        offdiag = np.zeros(self.vec_len, dtype=bool)
+        for bi, bk in enumerate(self.buckets):
+            n_pad = bk.n
+            flat = bk.pool_pos  # b*n^2 + r*n + c within the bucket
+            b_ix = flat // (n_pad * n_pad)
+            rc = flat % (n_pad * n_pad)
+            r, c = rc // n_pad, rc % n_pad
+            flat_hi = b_ix * n_pad * n_pad + c * n_pad + r
+            pool_lo[bk.svec_pos] = bases[bi] + flat
+            pool_hi[bk.svec_pos] = bases[bi] + flat_hi
+            offdiag[bk.svec_pos] = r != c
+        if len(self.free_pos):
+            fp = self.free_base + np.arange(len(self.free_pos))
+            pool_lo[self.free_pos] = fp
+            pool_hi[self.free_pos] = fp
+        self.svec_pool_lo = pool_lo.astype(itype)
+        self.svec_pool_hi = pool_hi.astype(itype)
+        self.svec_offdiag = offdiag
+
     def describe(self) -> str:
         lines = [f"vec_len={self.vec_len}, {len(self.blk)} blocks, {len(self.buckets)} buckets"]
         for bk in self.buckets:
