@@ -97,3 +97,46 @@ def psd_project(
             proj = reconstruct_clamped(w, v, eig_rank)
         projected.append(shard_blocks(proj, mesh))
     return blocks_to_svec(projected, Xb, maps)
+
+
+def psd_project_pool(
+    P: jax.Array,
+    maps: Dict[str, Any],
+    eigh_by_bucket: Optional[Dict[int, EighFn]] = None,
+    mesh=None,
+    eig_rank: Optional[int] = None,
+    method: str = "eigh",
+) -> jax.Array:
+    """Project a pool-coordinate vector onto the product cone.
+
+    Pool layout (ops/svec.py) means each bucket's dense block tensor is a
+    pure reshape of a pool segment -- no per-iteration svec gathers at all
+    (the reference pays vector_to_matrices + matrices_to_vector every
+    iteration, src/solver.cu:534,647). Each projected bucket is multiplied
+    by its 0/1 padding mask so eigh round-off never leaks into padded
+    (identically zero) pool positions. Free entries pass through unchanged.
+    """
+    from cuadmm_tpu.parallel.mesh import shard_blocks
+
+    parts = []
+    for i, bm in enumerate(maps["buckets"]):
+        count, n, base = bm["count"].value, bm["n"].value, bm["base"].value
+        seg = P[base : base + count * n * n]
+        if n == 1:
+            parts.append(jnp.maximum(seg, 0.0))
+            continue
+        bt = shard_blocks(seg.reshape(count, n, n), mesh)
+        if method == "poly" and (eigh_by_bucket or {}).get(i) is None:
+            from cuadmm_tpu.ops.polyfilter import psd_project_poly
+
+            proj = psd_project_poly(bt)
+        else:
+            fn = (eigh_by_bucket or {}).get(i, xla_eigh)
+            w, v = fn(bt)
+            proj = reconstruct_clamped(w, v, eig_rank)
+        proj = shard_blocks(proj * bm["pad_mask"], mesh)
+        parts.append(proj.reshape(-1))
+    if maps["free_pos"].shape[0]:
+        fb = maps["free_base"].value
+        parts.append(P[fb : fb + maps["free_pos"].shape[0]])
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)

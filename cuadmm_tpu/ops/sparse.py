@@ -143,6 +143,44 @@ def build_sparse_a(
     )
 
 
+def build_sparse_a_pool(
+    at_svec_idx: np.ndarray,
+    at_con_idx: np.ndarray,
+    vals: np.ndarray,
+    con_num: int,
+    structure,
+    dtype,
+) -> SparseA:
+    """Both matvec directions with the vec side in **pool coordinates**
+    (see ops/svec.py: dense block storage with off-diagonals at x/sqrt(2) in
+    both mirrored positions).
+
+    A @ x gathers each svec entry from its lower-triangle pool slot, with
+    the value scaled by sqrt(2) off-diagonal (x_svec = sqrt(2) * P[lo]).
+    A^T @ y writes each off-diagonal svec row to BOTH mirrored pool slots
+    with the value scaled by 1/sqrt(2) ((A^T y)_pool = (A^T y)_svec/sqrt(2)).
+    """
+    lo = structure.svec_pool_lo[at_svec_idx]
+    hi = structure.svec_pool_hi[at_svec_idx]
+    off = structure.svec_offdiag[at_svec_idx]
+    pool_len = int(structure.pool_len)
+
+    a_cols = lo
+    a_vals = np.where(off, vals * np.sqrt(2.0), vals)
+
+    at_rows = np.concatenate([lo, hi[off]])
+    at_cols = np.concatenate([at_con_idx, at_con_idx[off]])
+    at_vals_lo = np.where(off, vals / np.sqrt(2.0), vals)
+    at_vals = np.concatenate([at_vals_lo, vals[off] / np.sqrt(2.0)])
+
+    return SparseA(
+        a=_build_ell(at_con_idx, a_cols, a_vals, con_num, pool_len, dtype),
+        at=_build_ell(at_rows, at_cols, at_vals, pool_len, con_num, dtype),
+        con_num=int(con_num),
+        vec_len=pool_len,
+    )
+
+
 def _ell_matvec(t: EllTable, x: jax.Array) -> jax.Array:
     x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
     parts = [

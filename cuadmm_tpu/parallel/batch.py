@@ -95,7 +95,7 @@ class BatchedSDPSolver:
             maps=bp.maps,
             neq=bp.neq,
             b=dev(self._b_stack),
-            C=dev(self._C_stack),
+            C=jax.vmap(self._base._to_pool)(dev(self._C_stack)),
             normA=bp.normA,
             bscale=dev([sc.bscale for sc in self._scalings]),
             Cscale=dev([sc.Cscale for sc in self._scalings]),
@@ -201,9 +201,9 @@ class BatchedSDPSolver:
 
         info_mat = np.concatenate(info_rows, axis=0) if info_rows else np.empty((0, B, 8))
         results = []
-        X_all = np.asarray(state.X)
+        X_all = np.asarray(jax.vmap(self._base._from_pool)(state.X))
         y_all = np.asarray(state.y)
-        S_all = np.asarray(state.S)
+        S_all = np.asarray(jax.vmap(self._base._from_pool)(state.S))
         for b in range(B):
             converged = conv_iter[b] >= 0
             iters = int(conv_iter[b]) if converged else it_done

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from cuadmm_tpu.config import SolverConfig
 from cuadmm_tpu.ops import chol as chol_ops
 from cuadmm_tpu.ops import sparse as sparse_ops
-from cuadmm_tpu.ops.svec import device_maps
+from cuadmm_tpu.ops.svec import device_maps, pool_from_svec, svec_from_pool
 from cuadmm_tpu.problem import Problem
 from cuadmm_tpu.solver import scaling as scaling_mod
 from cuadmm_tpu.solver.state import INFO_FIELDS, SolveParams, SolverState
@@ -120,9 +120,13 @@ class SDPSolver:
         self._C_scaled = C_s
         self._initial_scaled = (X_s, y_s, S_s)
 
-        # Device-side problem constants.
-        sa = sparse_ops.build_sparse_a(
-            prob.At_rows, prob.At_cols, at_vals, con_num, vec_len, self.dtype
+        # Device-side problem constants. The hot loop keeps vec-space state
+        # in POOL coordinates (ops/svec.py: flat dense-block storage with
+        # mirrored off-diagonals at x/sqrt(2)), so the SpMV tables are built
+        # directly in pool coordinates and the per-iteration svec<->matrix
+        # conversions of the reference disappear.
+        sa = sparse_ops.build_sparse_a_pool(
+            prob.At_rows, prob.At_cols, at_vals, con_num, self.structure, self.dtype
         )
         neq = chol_ops.build_normal_solver(
             prob.At_rows,
@@ -138,12 +142,15 @@ class SDPSolver:
             cg_tol=cfg.cg_tol,
             cg_max_iter=cfg.cg_max_iter,
         )
+        maps = device_maps(self.structure, self.dtype)
+        self._to_pool = jax.jit(lambda v: pool_from_svec(v, maps))
+        self._from_pool = jax.jit(lambda p: svec_from_pool(p, maps))
         self.params = SolveParams(
             sparse_a=sa,
-            maps=device_maps(self.structure, self.dtype),
+            maps=maps,
             neq=neq,
             b=jnp.asarray(b_s, dtype=self.dtype),
-            C=jnp.asarray(C_s, dtype=self.dtype),
+            C=self._to_pool(jnp.asarray(C_s, dtype=self.dtype)),
             normA=jnp.asarray(normA, dtype=self.dtype),
             bscale=jnp.asarray(sc.bscale, dtype=self.dtype),
             Cscale=jnp.asarray(sc.Cscale, dtype=self.dtype),
@@ -171,12 +178,16 @@ class SDPSolver:
         relgap = abs(pobj - dobj) / (1.0 + abs(pobj) + abs(dobj))
         dt = self.dtype
         dev = lambda x: jnp.asarray(x, dtype=dt)
+        pool = lambda x: self._to_pool(dev(x))
+        # NB: each zeros buffer must be a distinct array -- the chunk runner
+        # donates the whole state, and XLA rejects donating one buffer twice.
+        pool_zeros = lambda: jnp.zeros((self.structure.pool_len,), dtype=dt)
         zeros_like = lambda x: jnp.zeros(np.shape(x), dtype=dt)
         return SolverState(
-            X=dev(X_s),
+            X=pool(X_s),
             y=dev(y_s),
-            S=dev(S_s),
-            SmC=dev(SmC),
+            S=pool(S_s),
+            SmC=pool(SmC),
             Rp=dev(Rp),
             sig=dev(sig),
             errRp=dev(errRp),
@@ -191,9 +202,9 @@ class SDPSolver:
             sig_stage_2=jnp.asarray(self.config.sig_update_stage_2, jnp.int32),
             sigscale=dev(self.config.sigscale),
             best_kkt=dev(np.inf),
-            X_best=zeros_like(X_s),
+            X_best=pool_zeros(),
             y_best=zeros_like(y_s),
-            S_best=zeros_like(S_s),
+            S_best=pool_zeros(),
         )
 
     def _runner(self, step, chunk: int, stop_tol: float):
@@ -290,7 +301,10 @@ class SDPSolver:
             X_fin, y_fin, S_fin = state.X, state.y, state.S
 
         X, y, S = scaling_mod.unscale_solution(
-            self.scaling, np.asarray(X_fin), np.asarray(y_fin), np.asarray(S_fin)
+            self.scaling,
+            np.asarray(self._from_pool(X_fin)),
+            np.asarray(y_fin),
+            np.asarray(self._from_pool(S_fin)),
         )
         info_mat = (
             np.concatenate(info_rows, axis=0)

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from cuadmm_tpu.ops.chol import NormalEqSolver
-from cuadmm_tpu.ops.projection import psd_project
+from cuadmm_tpu.ops.projection import psd_project_pool
 from cuadmm_tpu.ops.sparse import spmv_a, spmv_at
 from cuadmm_tpu.solver.state import SolveParams, SolverState
 
@@ -64,7 +64,7 @@ def make_step(
             Aty = spmv_at(sa, y_half)
             Rd1 = Aty - params.C
             Xb = state.X + sig * Rd1
-            Xproj = psd_project(
+            Xproj = psd_project_pool(
                 Xb,
                 params.maps,
                 eigh_by_bucket,
