@@ -106,6 +106,13 @@ class SolverConfig:
     # Logging.
     verbose: bool = True
 
+    # Profiling: when set, the driver captures a jax.profiler trace of one
+    # steady-state iteration chunk (the second chunk of the solve -- the
+    # first includes compilation) into this directory, viewable with
+    # tensorboard / xprof. TPU counterpart of the reference's cudaEvent
+    # timing pairs (reference: src/solver.cu:41-44, 435-438, 463-466).
+    profile_dir: Optional[str] = None
+
     def __post_init__(self):
         if self.dtype not in ("float32", "float64"):
             raise ValueError(f"dtype must be float32 or float64, got {self.dtype}")

@@ -264,15 +264,26 @@ class SDPSolver:
         info_rows = []
         t0 = time.perf_counter()
         it_done = 0
+        chunk_idx = 0
         converged = float(np.maximum(state.maxfeas, state.relgap)) < stop_tol
         while it_done < max_iter and not converged:
             chunk = min(cfg.check_every, max_iter - it_done)
             runner = self._runner(step, chunk, stop_tol)
+            # Profile one steady-state chunk (the second: the first chunk
+            # pays compilation) -- the counterpart of the reference's
+            # cudaEvent timing (src/solver.cu:41-44, 435-438).
+            profiling = cfg.profile_dir is not None and chunk_idx == 1
+            if profiling:
+                jax.profiler.start_trace(cfg.profile_dir)
             # Trace-time matmul precision: TPU f32 matmuls default to
             # bf16 inputs, which would wreck the solve; force full f32
             # (no-op for f64 / CPU).
             with jax.default_matmul_precision("highest"):
                 state, info = runner(state, self.params)
+            if profiling:
+                jax.block_until_ready(info)
+                jax.profiler.stop_trace()
+            chunk_idx += 1
             info_np = np.asarray(info, dtype=np.float64)  # (chunk, 8)
             kkt = np.maximum(np.maximum(info_np[:, 2], info_np[:, 3]), info_np[:, 4])
             hits = np.nonzero(kkt < stop_tol)[0]

@@ -132,3 +132,21 @@ def test_packed_projection_same_solve():
     np.testing.assert_allclose(
         res1.info["errRp"], res0.info["errRp"], rtol=1e-6, atol=1e-12
     )
+
+
+def test_profile_trace_capture(tmp_path):
+    """profile_dir captures a jax.profiler trace of one steady-state chunk
+    (the observability counterpart of the reference's cudaEvent timing,
+    src/solver.cu:41-44)."""
+    blk = [("s", 4), ("s", 3)]
+    prob, *_ = random_certified_sdp(blk, con_num=8, seed=2)
+    cfg = SolverConfig(
+        verbose=False, check_every=10, switch_admm=10**9,
+        profile_dir=str(tmp_path),
+    )
+    SDPSolver(prob, cfg).solve(max_iter=30, stop_tol=0.0)
+    import glob
+    traces = glob.glob(str(tmp_path / "**" / "*.trace*"), recursive=True) + glob.glob(
+        str(tmp_path / "**" / "*.xplane.pb"), recursive=True
+    )
+    assert traces, "no profiler trace written"
