@@ -1,22 +1,29 @@
-"""Benchmark driver: steady-state sGS-ADMM iteration rate on PushT N=10.
+"""Benchmark driver: steady-state ADMM iteration rate on PushT N=10.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the reference cuADMM solves SPOT PushT_N=10_MOMENT at
-0.0163 s/iteration (61.35 it/s) on its (unstated) GPU
+Mode-matched comparison (the round-1 bench compared an sGS run against the
+plain-ADMM baseline -- apples to oranges): we run **plain ADMM**
+(switch_admm=0, one normal solve per iteration, tau=1.618), and the
+baseline is the reference cuADMM in the same mode on the same problem:
+0.0163 s/iteration = 61.35 it/s on its (unstated) GPU
 (reference: examples/benchmarks/PushT_N=10_MOMENT/cuADMM.log tail).
-The problem: 17150 constraints, 6015 PSD blocks of sizes 1..13,
-vec_len 22825 -- the bucketed batched-eigh profile.
+The problem: 17150 constraints, 6015 PSD blocks of sizes 1..13.
+
+Correctness gates (a perf harness must not report the iteration rate of a
+diverged solver -- round-1 lesson): the run fails (value 0, non-zero exit)
+unless (a) all residuals are finite end-to-end, and (b) errRp decreased
+over the measured window.
 
 Env knobs:
-  BENCH_DTYPE=float64|float32   (default: float32 on TPU -- the TPU-native
-                                 configuration per ARCHITECTURE.md's
-                                 precision strategy (f32 iteration + full-f32
-                                 matmuls + iterative refinement; KKT
-                                 residuals self-certify the accuracy) --
+  BENCH_DTYPE=float64|float32   (default: float32 on TPU -- f32 state with
+                                 f64 residual refinement in the normal
+                                 solve; KKT residuals self-certify --
                                  float64 elsewhere for reference parity)
   BENCH_ITERS=N                 (timed iterations, default 600)
   BENCH_PROBLEM=path            (default PushT N=10)
+  BENCH_MODE=admm|sgs           (default admm; sgs uses the 33.0 it/s
+                                 sGS-cuADMM baseline, 0.0303 s/it)
 """
 
 import json
@@ -26,12 +33,14 @@ import time
 
 import jax
 
+# x64 is required regardless of the state dtype: the normal-equation solver
+# accumulates refinement residuals in f64 (ops/chol.py).
+jax.config.update("jax_enable_x64", True)
+
 _dtype_env = os.environ.get("BENCH_DTYPE")
 if _dtype_env is None:
-    _dtype_env = "float32" if jax.default_backend() == "tpu" else "float64"
+    _dtype_env = "float32" if jax.default_backend() in ("tpu", "axon") else "float64"
     os.environ["BENCH_DTYPE"] = _dtype_env
-if _dtype_env == "float64":
-    jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the remote-compile service behind the TPU
 # tunnel takes minutes for the solver's scanned iteration program; cached
@@ -49,7 +58,8 @@ import numpy as np
 
 from cuadmm_tpu import Problem, SDPSolver, SolverConfig
 
-BASELINE_ITERS_PER_SEC = 61.35  # reference cuADMM on PushT N=10 (0.0163 s/it)
+# Reference cuADMM on PushT N=10 (examples/benchmarks/PushT_N=10_MOMENT/):
+BASELINES = {"admm": 61.35, "sgs": 33.0}  # it/s (0.0163 / 0.0303 s/it)
 DEFAULT_PROBLEM = "/root/reference/examples/SPOT/data/TXT/PushT_N=10_MOMENT"
 
 
@@ -57,22 +67,24 @@ def main() -> None:
     dtype = os.environ.get("BENCH_DTYPE", "float64")
     iters = int(os.environ.get("BENCH_ITERS", "600"))
     path = os.environ.get("BENCH_PROBLEM", DEFAULT_PROBLEM)
+    mode = os.environ.get("BENCH_MODE", "admm")
+    baseline = BASELINES[mode]
 
     prob = Problem.from_txt(path)
     cfg = SolverConfig(
         dtype=dtype,
         verbose=False,
         check_every=100,
-        # Keep the solver in its sGS phase for the whole measurement and
-        # disable early exit so we time steady-state iterations.
-        switch_admm=10**9,
+        # Plain-ADMM mode from iteration 0 (sgs: stay in sGS forever);
+        # stop_tol=0 disables early exit so we time steady-state iterations.
+        switch_admm=0 if mode == "admm" else 10**9,
         stop_tol=0.0,
     )
     solver = SDPSolver(prob, cfg)
 
     # Warmup: compile + a few chunks.
     t0 = time.perf_counter()
-    solver.solve(max_iter=100, stop_tol=0.0)
+    warm_res = solver.solve(max_iter=100, stop_tol=0.0)
     warm = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -80,25 +92,41 @@ def main() -> None:
     elapsed = time.perf_counter() - t0
     its = res.iterations / elapsed
 
-    # Sanity: residuals must be finite and shrinking-ish.
-    ok = np.isfinite(res.errRp) and np.isfinite(res.errRd) and np.isfinite(res.relgap)
+    # Correctness gates.
+    err_hist = res.info["errRp"]
+    finite = bool(
+        np.isfinite(res.errRp)
+        and np.isfinite(res.errRd)
+        and np.isfinite(res.relgap)
+        and not res.diverged
+        and np.all(np.isfinite(err_hist))
+    )
+    decreased = bool(
+        len(err_hist) >= 2 and float(err_hist[-1]) < float(err_hist[0])
+    )
+    ok = finite and decreased
 
     print(
         json.dumps(
             {
-                "metric": "pusht_n10_iters_per_sec",
-                "value": round(its, 3),
+                "metric": f"pusht_n10_{mode}_iters_per_sec",
+                "value": round(its, 3) if ok else 0.0,
                 "unit": "iter/s",
-                "vs_baseline": round(its / BASELINE_ITERS_PER_SEC, 4),
+                "vs_baseline": round(its / baseline, 4) if ok else 0.0,
                 "dtype": dtype,
+                "mode": mode,
                 "iters_timed": res.iterations,
                 "warmup_s": round(warm, 2),
                 "errRp": float(res.errRp),
                 "errRd": float(res.errRd),
-                "finite": bool(ok),
+                "errRp_first": float(err_hist[0]) if len(err_hist) else None,
+                "finite": finite,
+                "errRp_decreased": decreased,
             }
         )
     )
+    if not ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

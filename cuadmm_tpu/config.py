@@ -53,17 +53,27 @@ class SolverConfig:
       off elsewhere), 0 = off. Ignored when ``eig_rank`` is set (top-k
       per block is not preserved under packing).
     - ``normal_solver``: how (AA^T) y = rhs is solved each iteration.
-      "dense" = one-time device Cholesky factorization + two triangular
-      solves per application (fully on device, no host round trips --
-      unlike the reference, which ships rhs to CHOLMOD on the CPU twice per
-      iteration, src/solver.cu:487-500). "inv" = explicit dense inverse,
-      one MXU matvec per application (TPU triangular solves are
-      latency-bound sequential chains; refinement restores the accuracy).
-      "cg" = device conjugate gradient (for con_num too large for a dense
-      factor). "host" = scipy sparse factorization with a host callback
-      per solve (reference-style). "auto": inv (f32) / dense (f64) below
-      ``dense_chol_max`` unknowns, else cg.
-    - ``cg_tol``/``cg_max_iter``: CG stopping parameters.
+      "precond" = one-time f32 device Cholesky of the *regularized*
+      AA^T + precond_eps*I inverted into an explicit dense M^-1
+      (MXU matvec per application), plus ``precond_applies`` f64
+      refinement sweeps against the exact sparse AA^T per solve --
+      correct even on the numerically singular AA^T of moment SDPs
+      because ADMM right-hand sides are consistent (see ops/chol.py).
+      "dense" = f64 Cholesky + cho_solve + the same refinement (CPU
+      parity path). "cg" = device preconditioned conjugate gradient
+      (block-Jacobi for large con_num). "host" = scipy sparse
+      factorization with a host callback per solve (reference-style; CPU
+      backend only -- TPU PJRT here rejects callbacks). "auto": precond
+      on accelerators / dense on CPU below ``dense_chol_max`` unknowns,
+      else cg.
+    - ``precond_eps``: relative diagonal regularization of the f32
+      preconditioner factor (escalates x10 on Cholesky failure).
+    - ``precond_applies``: refinement sweeps per solve. Each sweep costs
+      one dense matvec + two sparse matvecs and contracts the residual by
+      ~precond_eps; 2 sweeps reach ~1e-8 relative residual on PushT.
+    - ``cg_tol``/``cg_max_iter``: CG stopping parameters. cg_tol <= 0
+      selects a dtype-aware default (64*eps -- an absolute 1e-12 is
+      unreachable in f32 and burns cg_max_iter matvecs every solve).
     """
 
     # Termination.
@@ -95,9 +105,12 @@ class SolverConfig:
     projection: str = "auto"
     normal_solver: str = "auto"
     dense_chol_max: int = 32768
-    cg_tol: float = 1e-12
+    cg_tol: float = 0.0  # <= 0: dtype-aware default (64*eps)
     cg_max_iter: int = 400
+    cg_block_jacobi: int = 2048  # block width of the CG preconditioner (0 = Jacobi)
     aat_eps: float = 1e-15  # diagonal regularization of AA^T (reference: src/solver.cu:94)
+    precond_eps: float = 1e-4  # f32 preconditioner regularization (relative)
+    precond_applies: int = 2  # refinement sweeps per normal-equation solve
 
     # Low-rank projection: keep only the top-k eigenvalues per block
     # (working version of the reference's get_eig_rank_mask experiment).
@@ -118,7 +131,7 @@ class SolverConfig:
             raise ValueError(f"dtype must be float32 or float64, got {self.dtype}")
         if self.bucket_rounding not in ("pow2", "exact"):
             raise ValueError(f"bucket_rounding must be pow2 or exact, got {self.bucket_rounding}")
-        if self.normal_solver not in ("auto", "dense", "inv", "cg", "host"):
+        if self.normal_solver not in ("auto", "precond", "dense", "inv", "cg", "host"):
             raise ValueError(f"unknown normal_solver {self.normal_solver}")
         if self.projection not in ("auto", "eigh", "poly"):
             raise ValueError(f"unknown projection {self.projection}")

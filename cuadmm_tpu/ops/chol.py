@@ -1,28 +1,44 @@
 """Normal-equation solver for (A A^T) y = rhs.
 
-The reference factorizes AA^T once with CHOLMOD on the CPU and then ships
-the right-hand side device->host->device **twice per iteration** for the
-triangular solves (reference: include/cuadmm/cholesky_cpu.h:33-155,
-src/solver.cu:487-500 and :704-717). On TPU that host round-trip would
-serialize the whole pipeline, so everything here is device-resident:
+The reference factorizes AA^T once with CHOLMOD on the CPU (f64 LDLt,
+eps=1e-15) and ships the right-hand side device->host->device **twice per
+iteration** for the triangular solves (reference:
+include/cuadmm/cholesky_cpu.h:33-155, src/solver.cu:487-500 and :704-717).
+On TPU a host round-trip is not even available (the PJRT platform used
+here rejects host callbacks), and AA^T for moment-relaxation SDPs is
+*numerically singular* (PushT N=10: lmax ~ 1.2e3, lmin ~ 5e-15 after row
+normalization), so naive low-precision factorizations produce garbage.
+What saves the day is that every rhs the ADMM iteration produces lies in
+range(A) (rhs = Rp/sigma - A(S - C)), i.e. the systems are *consistent*.
 
-- ``dense`` (default): AA^T is *built and Cholesky-factorized on device*
-  in one jitted program -- only the COO triplets of A ever cross the
-  host->TPU link. Each solve is two triangular solves plus optional
-  iterative-refinement steps (cheap sparse matvecs) that recover the
-  accuracy lost to a float32 factor.
-- ``cg``: Jacobi-preconditioned conjugate gradient using only the sparse
-  A matvecs (for con_num too large to hold a dense factor).
-- ``host``: scipy sparse LU factorization once, host callback per solve --
-  the reference-style fallback, kept for parity/debugging.
+Everything here is device-resident:
 
-All three expose ``solve(rhs, warm)`` usable inside jit.
+- ``precond`` (default on accelerators): one-time device Cholesky of the
+  *regularized* P = AA^T + eps*I in float32, inverted into an explicit
+  dense M^-1 via blocked triangular inversion (all matmuls, MXU-friendly).
+  Each solve runs a fixed number of refinement sweeps
+      y <- y + M^-1 (rhs - AA^T y)
+  with the residual computed in float64 through the exact sparse A
+  (two tiny spmv's). For consistent rhs the sweep contracts the residual
+  by ~eps per application regardless of the near-null spectrum (measured
+  on the real PushT AA^T: eps=1e-4, two applications -> relative residual
+  1.8e-8; the reference bar is CHOLMOD's backward-stable ~1e-15).
+- ``dense``: f64 device/CPU Cholesky of AA^T + eps*I, cho_solve per
+  application, plus the same f64 refinement (CPU-backend parity path).
+- ``cg``: preconditioned conjugate gradient in f64 using only sparse
+  matvecs, with an optional block-Jacobi preconditioner built from the
+  diagonal blocks of AA^T (for con_num too large to hold a dense M^-1).
+- ``host``: scipy sparse LU once, host callback per solve -- the
+  reference-style fallback; CPU backend only (TPU callbacks unsupported).
+
+All modes expose ``solve(rhs, warm)`` usable inside jit.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
+import warnings
 from typing import Callable, Optional
 
 import jax
@@ -34,75 +50,117 @@ import scipy.sparse.linalg as spla
 from cuadmm_tpu.ops.sparse import SparseA, spmv_a, spmv_at
 
 
+def _hp_dtype():
+    """Residual-accumulation dtype: f64 when x64 is enabled, else f32."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
 @dataclasses.dataclass
 class NormalEqSolver:
     mode: str
     # dense: lower Cholesky factor (device array), else None.
     chol_l: Optional[jax.Array]
-    # cg: inverse diagonal preconditioner (device array), else None.
-    inv_diag: Optional[jax.Array]
+    # cg / precond-fallback: preconditioner pieces.
+    inv_diag: Optional[jax.Array]  # Jacobi (cg)
+    bj_inv: Optional[jax.Array]  # block-Jacobi (nb, bs, bs) (cg)
+    # precond: explicit (AA^T + eps I)^{-1} in factor dtype (device array).
+    minv: Optional[jax.Array]
+    # High-precision (f64 when available) sparse A for residuals/cg.
     sparse_a: Optional[SparseA]
     cg_tol: float
     cg_max_iter: int
-    refine_steps: int = 0
+    # precond/dense: number of refinement applications per solve.
+    applies: int = 2
     # host: callable rhs(np) -> y(np)
     host_solve: Optional[Callable] = None
     eps_used: float = 0.0
-    # inv: explicit (AA^T + eps I)^{-1} (device array), else None.
-    inv_m: Optional[jax.Array] = None
 
-    def _apply_factor(self, rhs: jax.Array) -> jax.Array:
-        if self.mode == "inv":
+    # -- preconditioner application (factor-precision) -------------------
+    def _apply_minv(self, r: jax.Array) -> jax.Array:
+        if self.mode == "precond":
             # One dense matvec on the MXU. Triangular solves on TPU are
-            # latency-bound sequential chains (~n/128 dependent steps);
-            # the explicit inverse turns each solve into bandwidth-bound
-            # work, and iterative refinement restores the accuracy.
-            return self.inv_m @ rhs
-        return jax.scipy.linalg.cho_solve((self.chol_l, True), rhs)
+            # latency-bound sequential chains; the explicit inverse makes
+            # each application bandwidth-bound instead, and the f64
+            # refinement sweep restores the accuracy.
+            return (self.minv @ r.astype(self.minv.dtype)).astype(r.dtype)
+        return jax.scipy.linalg.cho_solve(
+            (self.chol_l, True), r.astype(self.chol_l.dtype)
+        ).astype(r.dtype)
 
     def solve(self, rhs: jax.Array, warm: Optional[jax.Array] = None) -> jax.Array:
-        if self.mode in ("dense", "inv"):
-            y = self._apply_factor(rhs)
-            # Iterative refinement: each step costs two sparse matvecs +
-            # one factor application and squares away the float32
-            # factorization/inversion error (the reference gets f64
-            # accuracy from CHOLMOD; we recover it on device).
-            for _ in range(self.refine_steps):
-                r = rhs - _aat_matvec(self.sparse_a, y)
-                y = y + self._apply_factor(r)
-            return y
+        if self.mode in ("precond", "dense"):
+            hp = _hp_dtype()
+            rhs_hp = rhs.astype(hp)
+            y = jnp.zeros_like(rhs_hp) if warm is None else warm.astype(hp)
+            # Refinement against the exact AA^T: each sweep costs one
+            # preconditioner application plus two sparse matvecs and
+            # contracts the residual by ~eps_used (consistent rhs).
+            for _ in range(self.applies):
+                r = rhs_hp - _aat_matvec(self.sparse_a, y)
+                y = y + self._apply_minv(r).astype(hp)
+            return y.astype(rhs.dtype)
         if self.mode == "cg":
-            return _pcg(
+            hp = _hp_dtype()
+            y = _pcg(
                 self.sparse_a,
-                rhs,
+                rhs.astype(hp),
                 self.inv_diag,
-                rhs if warm is None else warm,
+                self.bj_inv,
+                jnp.zeros(rhs.shape, hp) if warm is None else warm.astype(hp),
                 self.cg_tol,
                 self.cg_max_iter,
             )
+            return y.astype(rhs.dtype)
         if self.mode == "host":
             return jax.pure_callback(
-                lambda r: np.asarray(self.host_solve(np.asarray(r, dtype=np.float64))).astype(r.dtype),
+                lambda r: np.asarray(
+                    self.host_solve(np.asarray(r, dtype=np.float64))
+                ).astype(r.dtype),
                 jax.ShapeDtypeStruct(rhs.shape, rhs.dtype),
                 rhs,
                 vmap_method="sequential",
             )
         raise ValueError(self.mode)
 
+    def residual_norm(self, rhs: jax.Array, y: jax.Array) -> jax.Array:
+        """|| rhs - AA^T y || / || rhs || (diagnostics / regression tests)."""
+        hp = _hp_dtype()
+        r = rhs.astype(hp) - _aat_matvec(self.sparse_a, y.astype(hp))
+        return jnp.linalg.norm(r) / jnp.linalg.norm(rhs.astype(hp))
+
 
 jax.tree_util.register_dataclass(
     NormalEqSolver,
-    data_fields=["chol_l", "inv_diag", "sparse_a", "inv_m"],
-    meta_fields=["mode", "cg_tol", "cg_max_iter", "refine_steps", "host_solve", "eps_used"],
+    data_fields=["chol_l", "inv_diag", "bj_inv", "minv", "sparse_a"],
+    meta_fields=["mode", "cg_tol", "cg_max_iter", "applies", "host_solve", "eps_used"],
 )
 
 
 def _aat_matvec(sa: SparseA, v: jax.Array) -> jax.Array:
-    return spmv_a(sa, spmv_at(sa, v))
+    x = spmv_at(sa, v)
+    return spmv_a(sa, x.astype(v.dtype))
 
 
-def _pcg(sa, rhs, inv_diag, x0, tol, max_iter):
-    """Jacobi-preconditioned CG on AA^T, fixed-shape while_loop (jit-safe)."""
+def _pcg(sa, rhs, inv_diag, bj_inv, x0, tol, max_iter):
+    """Preconditioned CG on AA^T, fixed-shape while_loop (jit-safe).
+
+    Preconditioner: block-Jacobi when ``bj_inv`` is given, else Jacobi.
+    Early exit on the relative residual (reference capability bar:
+    cholesky_cpu.h exact solves; CG is the large-con_num stand-in)."""
+    hp = rhs.dtype
+
+    def apply_m(r):
+        if bj_inv is not None:
+            bs = bj_inv.shape[-1]
+            pad = bj_inv.shape[0] * bs - r.shape[0]
+            rp = jnp.pad(r, (0, pad)).reshape(bj_inv.shape[0], bs)
+            z = jnp.einsum(
+                "bij,bj->bi", bj_inv.astype(hp), rp,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(-1)
+            return z[: r.shape[0]]
+        return r * inv_diag.astype(hp)
+
     rhs_nsq = jnp.dot(rhs, rhs)
 
     def cond(carry):
@@ -115,14 +173,14 @@ def _pcg(sa, rhs, inv_diag, x0, tol, max_iter):
         alpha = rz / jnp.dot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
-        z = r * inv_diag
+        z = apply_m(r)
         rz_new = jnp.dot(r, z)
         beta = rz_new / rz
         p = z + beta * p
         return x, r, z, p, rz_new, it + 1
 
     r0 = rhs - _aat_matvec(sa, x0)
-    z0 = r0 * inv_diag
+    z0 = apply_m(r0)
     init = (x0, r0, z0, z0, jnp.dot(r0, z0), jnp.array(0, jnp.int32))
     x, *_ = jax.lax.while_loop(cond, body, init)
     return x
@@ -145,21 +203,16 @@ def build_aat_host(
 def _device_factorize(
     at_svec_idx, at_con_idx, vals, con_num, vec_len, dtype, eps: float,
     dense_a_build_limit: int = 6 * 1024**3,
-    out_dtype=None,
 ):
-    """Build AA^T and its Cholesky factor on device.
+    """Build AA^T + eps*scale*I and its Cholesky factor on device.
 
     Preferred path: scatter A dense on device (COO triplets are the only
     host->device transfer) and form AA^T on the MXU. If dense A would not
     fit, fall back to a host sparse AA^T product (cheap) and ship the dense
-    AA^T once.
-
-    ``dtype`` is the factorization arithmetic; ``out_dtype`` (default the
-    same) is what the factor is cast to for downstream solves -- used to
-    factorize in f32 on TPU (f64 Cholesky is software-emulated there and
-    needs ~5x the memory) while iterating in f64.
+    AA^T once. ``eps`` escalates x10 until the factor is finite (the
+    reference's CHOLMOD LDLt tolerates semidefinite AA^T at eps=1e-15,
+    cholesky_cpu.h:50; plain Cholesky needs the diagonal safely positive).
     """
-    out_dtype = dtype if out_dtype is None else out_dtype
     itemsize = jnp.dtype(dtype).itemsize
     rows = jnp.asarray(at_con_idx, jnp.int32)
     cols = jnp.asarray(at_svec_idx, jnp.int32)
@@ -192,17 +245,14 @@ def _device_factorize(
 
         make = lambda e: fac2(aat_dev, jnp.asarray(e, dtype))
 
-    # Adaptive jitter: the reference's CHOLMOD LDLt tolerates semidefinite
-    # AA^T with eps=1e-15 (cholesky_cpu.h:50); plain Cholesky needs the
-    # diagonal safely positive. Escalate until the factor is finite.
-    cur = max(eps, 1e-7 if jnp.dtype(dtype) == jnp.float32 else eps)
+    cur = float(eps)
     while True:
         l, ok = make(cur)
         if bool(ok):
-            return l.astype(out_dtype), cur
-        cur = max(cur * 1e3, 1e-12 if jnp.dtype(dtype) == jnp.float64 else 1e-6)
-        if cur > 1e-2:
-            raise RuntimeError("AA^T Cholesky failed even with jitter 1e-2")
+            return l, cur
+        cur *= 10.0
+        if cur > 1e-1:
+            raise RuntimeError("AA^T Cholesky failed even with jitter 1e-1")
 
 
 def _blocked_tri_inv(L: jax.Array, base: int = 512) -> jax.Array:
@@ -238,6 +288,31 @@ def _spd_inv_from_chol(L: jax.Array) -> jax.Array:
     )
 
 
+def _block_jacobi_inv(
+    aat: sp.csr_matrix, con_num: int, block: int, eps: float, dtype
+) -> jax.Array:
+    """Inverses of the dense diagonal blocks of AA^T (host, f64), stacked
+    (nb, block, block) for a batched-matvec preconditioner application."""
+    nb = (con_num + block - 1) // block
+    out = np.zeros((nb, block, block), dtype=np.float64)
+    aat_csc = aat.tocsc()
+    for i in range(nb):
+        s, e = i * block, min((i + 1) * block, con_num)
+        d = np.asarray(aat_csc[s:e, s:e].todense())
+        scale = max(np.trace(d) / max(e - s, 1), 1.0)
+        d[np.diag_indices(e - s)] += eps * scale
+        try:
+            inv = np.linalg.inv(np.linalg.cholesky(d) @ np.linalg.cholesky(d).T)
+        except np.linalg.LinAlgError:
+            d[np.diag_indices(e - s)] += 1e-6 * scale
+            inv = np.linalg.inv(d)
+        out[i, : e - s, : e - s] = inv
+        # Identity on padding keeps the preconditioner SPD.
+        for j in range(e - s, block):
+            out[i, j, j] = 1.0
+    return jnp.asarray(out, dtype)
+
+
 def build_normal_solver(
     at_svec_idx: np.ndarray,
     at_con_idx: np.ndarray,
@@ -249,76 +324,116 @@ def build_normal_solver(
     dtype,
     eps: float = 1e-15,
     dense_chol_max: int = 32768,
-    cg_tol: float = 1e-12,
+    cg_tol: float = 0.0,
     cg_max_iter: int = 400,
-    refine_steps: Optional[int] = None,
+    precond_eps: float = 1e-4,
+    applies: int = 2,
+    cg_block_jacobi: int = 2048,
+    sparse_a_hp: Optional[SparseA] = None,
 ) -> NormalEqSolver:
     """Factorize once at init (reference: src/solver.cu:91-96) and return a
-    device-resident solver."""
-    on_tpu = jax.default_backend() == "tpu"
+    device-resident solver.
+
+    ``sparse_a_hp`` is the high-precision (f64) sparse A used for residual
+    refinement and CG; defaults to ``sparse_a`` (fine when dtype is f64).
+    ``cg_tol`` <= 0 selects a dtype-aware default (64*eps of the
+    high-precision dtype -- the round-1 default of 1e-12 was unreachable
+    in f32 and burned cg_max_iter matvecs every solve).
+    """
+    on_accel = jax.default_backend() in ("tpu", "gpu", "axon")
+    sa_hp = sparse_a_hp if sparse_a_hp is not None else sparse_a
+    if mode == "inv":  # legacy alias from round 1
+        mode = "precond"
     if mode == "auto":
         if con_num <= dense_chol_max:
-            # Explicit inverse on TPU (matvec beats TPU triangular solves,
-            # and f64 Cholesky/TRSM are emulated there); classic Cholesky
-            # solves on CPU (the reference-parity path).
-            mode = "inv" if (jnp.dtype(dtype) == jnp.float32 or on_tpu) else "dense"
+            # Explicit regularized inverse + refinement on accelerators
+            # (matvec beats TPU triangular solves and handles the singular
+            # AA^T of moment SDPs); true f64 Cholesky on CPU.
+            mode = "precond" if (on_accel or jnp.dtype(dtype) == jnp.float32) else "dense"
         else:
             mode = "cg"
-    # f64 on TPU: factorize in f32 (emulated f64 Cholesky needs ~5x the
-    # memory and OOMs around con_num ~ 12k); refinement below restores the
-    # accuracy against the exact sparse AA^T matvec.
-    fac_dtype = jnp.float32 if (on_tpu and jnp.dtype(dtype) == jnp.float64) else dtype
-    if refine_steps is None:
-        refine_steps = 0
-        if jnp.dtype(dtype) == jnp.float32:
-            refine_steps = 1
-        if jnp.dtype(fac_dtype) != jnp.dtype(dtype):
-            refine_steps = 3
+    if cg_tol is None or cg_tol <= 0.0:
+        cg_tol = 64.0 * float(jnp.finfo(_hp_dtype()).eps)
 
-    if mode in ("dense", "inv"):
-        # For "inv", invert at factorization precision (all matmuls) and
-        # cast only the final inverse; for "dense", cast the factor.
+    if mode == "precond":
+        # Factor in f32: f64 Cholesky is software-emulated on TPU (and
+        # needs ~5x the memory); the f64 refinement sweep in solve()
+        # recovers the accuracy against the exact sparse AA^T.
+        fac_dtype = jnp.float32 if on_accel else jnp.dtype(dtype)
+        eps0 = max(precond_eps, 1e-12 if fac_dtype == jnp.float64 else 1e-5)
         l, eps_used = _device_factorize(
-            at_svec_idx, at_con_idx, vals, con_num, vec_len, fac_dtype, eps,
-            out_dtype=fac_dtype if mode == "inv" else dtype,
+            at_svec_idx, at_con_idx, vals, con_num, vec_len, fac_dtype, eps0
         )
-        inv_m = None
-        if mode == "inv":
-            inv_m = _spd_inv_from_chol(l).astype(dtype)
-            l = None
+        minv = _spd_inv_from_chol(l)
         return NormalEqSolver(
-            mode=mode,
-            chol_l=l,
+            mode="precond",
+            chol_l=None,
             inv_diag=None,
-            sparse_a=sparse_a,
+            bj_inv=None,
+            minv=minv,
+            sparse_a=sa_hp,
             cg_tol=cg_tol,
             cg_max_iter=cg_max_iter,
-            refine_steps=refine_steps,
+            applies=applies,
             eps_used=eps_used,
-            inv_m=inv_m,
+        )
+
+    if mode == "dense":
+        fac_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        eps0 = max(eps, 1e-14 if fac_dtype == jnp.float64 else 1e-5)
+        l, eps_used = _device_factorize(
+            at_svec_idx, at_con_idx, vals, con_num, vec_len, fac_dtype, eps0
+        )
+        return NormalEqSolver(
+            mode="dense",
+            chol_l=l,
+            inv_diag=None,
+            bj_inv=None,
+            minv=None,
+            sparse_a=sa_hp,
+            cg_tol=cg_tol,
+            cg_max_iter=cg_max_iter,
+            applies=applies,
+            eps_used=eps_used,
         )
 
     if mode == "cg":
-        sq = np.zeros(con_num, dtype=np.float64)
-        np.add.at(sq, at_con_idx, vals * vals)
-        inv_diag = 1.0 / np.maximum(sq + eps, 1e-30)
+        aat = build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
+        bj = None
+        if cg_block_jacobi and con_num > cg_block_jacobi:
+            bj = _block_jacobi_inv(
+                aat, con_num, cg_block_jacobi, max(eps, 1e-10), jnp.float32
+            )
+            inv_diag = None
+        else:
+            d = np.maximum(aat.diagonal(), 1e-30)
+            inv_diag = jnp.asarray(1.0 / d, _hp_dtype())
         return NormalEqSolver(
             mode="cg",
             chol_l=None,
-            inv_diag=jnp.asarray(inv_diag, dtype=dtype),
-            sparse_a=sparse_a,
+            inv_diag=inv_diag,
+            bj_inv=bj,
+            minv=None,
+            sparse_a=sa_hp,
             cg_tol=cg_tol,
             cg_max_iter=cg_max_iter,
         )
 
     if mode == "host":
+        if on_accel:
+            warnings.warn(
+                "normal_solver='host' uses jax.pure_callback, which this "
+                "accelerator platform may not support; prefer 'precond'."
+            )
         aat = build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
-        aat = aat + eps * sp.eye(con_num, format="csr")
+        aat = aat + max(eps, 1e-14) * sp.eye(con_num, format="csr")
         lu = spla.factorized(aat.tocsc())
         return NormalEqSolver(
             mode="host",
             chol_l=None,
             inv_diag=None,
+            bj_inv=None,
+            minv=None,
             sparse_a=None,
             cg_tol=cg_tol,
             cg_max_iter=cg_max_iter,

@@ -102,10 +102,13 @@ def _build_ell(
         k = int(w)
         gi = np.full((r, k), in_len, dtype=np.int64)
         gv = np.zeros((r, k), dtype=np.float64)
-        for j, row in enumerate(sel):
-            s, e = row_start[row], row_start[row + 1]
-            gi[j, : e - s] = cols_s[s:e]
-            gv[j, : e - s] = vals_s[s:e]
+        cnt = counts[sel]
+        total = int(cnt.sum())
+        rowrep = np.repeat(np.arange(r), cnt)
+        within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        src = np.repeat(row_start[sel], cnt) + within
+        gi[rowrep, within] = cols_s[src]
+        gv[rowrep, within] = vals_s[src]
         idx_list.append(gi)
         val_list.append(gv)
         out_pos_list.append((sel, base + np.arange(r)))
@@ -178,6 +181,21 @@ def build_sparse_a_pool(
         at=_build_ell(at_rows, at_cols, at_vals, pool_len, con_num, dtype),
         con_num=int(con_num),
         vec_len=pool_len,
+    )
+
+
+def cast_sparse_a(sa: SparseA, dtype) -> SparseA:
+    """Same index tables, values cast to ``dtype`` (cheap second precision
+    copy -- the builders' host-side row loops are the expensive part)."""
+    cast_t = lambda t: EllTable(
+        idx=t.idx,
+        vals=tuple(v.astype(dtype) for v in t.vals),
+        out_perm=t.out_perm,
+        in_len=t.in_len,
+        out_len=t.out_len,
+    )
+    return SparseA(
+        a=cast_t(sa.a), at=cast_t(sa.at), con_num=sa.con_num, vec_len=sa.vec_len
     )
 
 

@@ -221,6 +221,10 @@ class BatchedSDPSolver:
                     S=S,
                     iterations=iters,
                     converged=bool(converged),
+                    diverged=not bool(
+                        np.isfinite(np.asarray(state.errRp)[b])
+                        and np.isfinite(np.asarray(state.errRd)[b])
+                    ),
                     message=(
                         "Solver ended: converged."
                         if converged

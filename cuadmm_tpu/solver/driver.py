@@ -47,6 +47,7 @@ class SDPResult:
     S: np.ndarray
     iterations: int
     converged: bool
+    diverged: bool
     message: str
     pobj: float
     dobj: float
@@ -125,8 +126,17 @@ class SDPSolver:
         # mirrored off-diagonals at x/sqrt(2)), so the SpMV tables are built
         # directly in pool coordinates and the per-iteration svec<->matrix
         # conversions of the reference disappear.
-        sa = sparse_ops.build_sparse_a_pool(
-            prob.At_rows, prob.At_cols, at_vals, con_num, self.structure, self.dtype
+        # Build the ELL tables once at the highest available precision, then
+        # cast values for the state-dtype copy. The f64 copy feeds the
+        # normal-equation residual refinement / CG (ops/chol.py).
+        hp_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        sa_hp = sparse_ops.build_sparse_a_pool(
+            prob.At_rows, prob.At_cols, at_vals, con_num, self.structure, hp_dtype
+        )
+        sa = (
+            sa_hp
+            if self.dtype == jnp.dtype(hp_dtype)
+            else sparse_ops.cast_sparse_a(sa_hp, self.dtype)
         )
         neq = chol_ops.build_normal_solver(
             prob.At_rows,
@@ -141,10 +151,22 @@ class SDPSolver:
             dense_chol_max=cfg.dense_chol_max,
             cg_tol=cfg.cg_tol,
             cg_max_iter=cfg.cg_max_iter,
+            precond_eps=cfg.precond_eps,
+            applies=cfg.precond_applies,
+            cg_block_jacobi=cfg.cg_block_jacobi,
+            sparse_a_hp=sa_hp,
         )
         maps = device_maps(self.structure, self.dtype)
-        self._to_pool = jax.jit(lambda v: pool_from_svec(v, maps))
-        self._from_pool = jax.jit(lambda p: svec_from_pool(p, maps))
+        self._maps = maps
+        # NB: maps must be *arguments*, not closure constants -- XLA embeds
+        # closed-over arrays as program constants, which poisons compile
+        # time (constant folding over pool-length tables) and, on the
+        # tunneled TPU platform here, re-stages them on every call
+        # (~29 ms/call measured).
+        self._to_pool_fn = jax.jit(pool_from_svec)
+        self._from_pool_fn = jax.jit(svec_from_pool)
+        self._to_pool = lambda v: self._to_pool_fn(v, self._maps)
+        self._from_pool = lambda p: self._from_pool_fn(p, self._maps)
         self.params = SolveParams(
             sparse_a=sa,
             maps=maps,
@@ -265,6 +287,8 @@ class SDPSolver:
         t0 = time.perf_counter()
         it_done = 0
         chunk_idx = 0
+        profiled = False
+        diverged = False
         converged = float(np.maximum(state.maxfeas, state.relgap)) < stop_tol
         while it_done < max_iter and not converged:
             chunk = min(cfg.check_every, max_iter - it_done)
@@ -275,17 +299,33 @@ class SDPSolver:
             profiling = cfg.profile_dir is not None and chunk_idx == 1
             if profiling:
                 jax.profiler.start_trace(cfg.profile_dir)
-            # Trace-time matmul precision: TPU f32 matmuls default to
-            # bf16 inputs, which would wreck the solve; force full f32
-            # (no-op for f64 / CPU).
-            with jax.default_matmul_precision("highest"):
-                state, info = runner(state, self.params)
-            if profiling:
-                jax.block_until_ready(info)
-                jax.profiler.stop_trace()
+            try:
+                # Trace-time matmul precision: TPU f32 matmuls default to
+                # bf16 inputs, which would wreck the solve; force full f32
+                # (no-op for f64 / CPU).
+                with jax.default_matmul_precision("highest"):
+                    state, info = runner(state, self.params)
+                if profiling:
+                    jax.block_until_ready(info)
+            finally:
+                if profiling:
+                    jax.profiler.stop_trace()
+                    profiled = True
             chunk_idx += 1
             info_np = np.asarray(info, dtype=np.float64)  # (chunk, 8)
             kkt = np.maximum(np.maximum(info_np[:, 2], info_np[:, 3]), info_np[:, 4])
+            # Divergence guard: the reference surfaces residuals on the host
+            # every iteration (src/solver.cu:429-444) and a human would stop
+            # it; a compiled chunk loop must detect non-finite state itself
+            # rather than scan through NaNs forever.
+            bad = np.nonzero(~np.isfinite(kkt))[0]
+            if bad.size:
+                diverged = True
+                keep = int(bad[0]) + 1
+                info_np = info_np[:keep]
+                it_done += keep
+                info_rows.append(info_np)
+                break
             hits = np.nonzero(kkt < stop_tol)[0]
             if hits.size:
                 converged = True
@@ -298,11 +338,24 @@ class SDPSolver:
             log.maybe_row(it_done, info_np[-1], time.perf_counter() - t0)
         total_time = time.perf_counter() - t0
 
-        message = (
-            "Solver ended: converged."
-            if converged
-            else "Solver ended: maximum iteration reached"
-        )
+        if cfg.profile_dir is not None and not profiled:
+            import warnings
+
+            warnings.warn(
+                "profile_dir was set but the solve finished within the first "
+                "chunk; no steady-state chunk was available to trace."
+            )
+        if diverged:
+            message = (
+                "Solver ABORTED: non-finite residuals at iteration "
+                f"{it_done} (errRp/errRd/relgap contain NaN or Inf). "
+                "The iteration diverged -- try a smaller sig, a more "
+                "accurate normal_solver, or dtype='float64'."
+            )
+        elif converged:
+            message = "Solver ended: converged."
+        else:
+            message = "Solver ended: maximum iteration reached"
 
         # Restore best iterate after the ADMM switch
         # (reference: src/solver.cu:567-576).
@@ -332,6 +385,7 @@ class SDPSolver:
             S=S,
             iterations=it_done,
             converged=converged,
+            diverged=diverged,
             message=message,
             pobj=float(state.pobj),
             dobj=float(state.dobj),

@@ -137,6 +137,66 @@ def test_normal_solver_semidefinite():
     assert np.all(np.isfinite(sol))
 
 
+def _moment_like_at(rng, vec_len, con_num, dup_frac=0.3):
+    """A with near-duplicate rows: cond(AA^T) >= 1e12, the failure mode of
+    SPOT moment relaxations (PushT N=10 measures cond ~ 2e17)."""
+    base = con_num - int(con_num * dup_frac)
+    mask = rng.random((base, vec_len)) < 0.05
+    A = np.where(mask, rng.standard_normal((base, vec_len)), 0.0)
+    A[np.nonzero(A.sum(axis=1) == 0)[0], 0] = 1.0  # no empty rows
+    dups = []
+    for i in range(con_num - base):
+        j, k = rng.integers(0, base, 2)
+        dups.append(A[j] + 1e-7 * A[k])  # nearly dependent
+    A = np.vstack([A] + [np.asarray(dups)]) if dups else A
+    r, c = np.nonzero(A.T)
+    return r.astype(np.int32), c.astype(np.int32), A.T[r, c], A
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+def test_precond_singular_consistent(dtype):
+    """The round-1 regression: f32 normal solves on a numerically singular
+    AA^T must reach relative residual < 1e-5 on consistent rhs (the VERDICT
+    bar; the round-1 'inv' mode measured residual 41 on PushT and the bench
+    diverged to NaN). Reference capability bar: CHOLMOD f64 LDLt with
+    eps=1e-15 (include/cuadmm/cholesky_cpu.h:50-155)."""
+    rng = np.random.default_rng(42)
+    vec_len, con = 600, 300
+    r, c, v, A = _moment_like_at(rng, vec_len, con)
+    dt = jnp.dtype(dtype)
+    sa_hp = sparse_ops.build_sparse_a(r, c, v, con, vec_len, jnp.float64)
+    sa = sparse_ops.cast_sparse_a(sa_hp, dt)
+    neq = chol_ops.build_normal_solver(
+        r, c, v, con, vec_len, sa, "precond", dt, sparse_a_hp=sa_hp
+    )
+    aat = A @ A.T
+    assert np.linalg.cond(aat) > 1e10  # the test is only meaningful if hard
+    rhs = (aat @ rng.standard_normal(con)).astype(dt)  # consistent
+    y = jax.jit(neq.solve)(jnp.asarray(rhs))
+    assert np.all(np.isfinite(np.asarray(y)))
+    res = float(neq.residual_norm(jnp.asarray(rhs), y))
+    assert res < 1e-5, f"normal-solve relative residual {res:.2e} >= 1e-5"
+
+
+def test_cg_block_jacobi_and_tol():
+    """CG upgrades: dtype-aware default tolerance + block-Jacobi
+    preconditioner path (reference capability bar: cholesky_cpu.h for
+    con_num beyond the dense-factor budget)."""
+    rng = np.random.default_rng(9)
+    vec_len, con = 400, 96
+    r, c, v, At = random_sparse_at(rng, vec_len, con, density=0.2)
+    sa = sparse_ops.build_sparse_a(r, c, v, con, vec_len, jnp.float64)
+    neq = chol_ops.build_normal_solver(
+        r, c, v, con, vec_len, sa, "cg", jnp.float64, cg_block_jacobi=32
+    )
+    assert neq.bj_inv is not None and neq.bj_inv.shape == (3, 32, 32)
+    assert neq.cg_tol > 0  # dtype-aware default kicked in
+    rhs = rng.standard_normal(con)
+    y = jax.jit(neq.solve)(jnp.asarray(rhs))
+    res = float(neq.residual_norm(jnp.asarray(rhs), y))
+    assert res < 1e-8
+
+
 def test_eig_rank_low_rank_projection():
     """Top-k eigenvalue mask (reference get_eig_rank_mask analog)."""
     rng = np.random.default_rng(8)
