@@ -14,20 +14,21 @@ range(A) (rhs = Rp/sigma - A(S - C)), i.e. the systems are *consistent*.
 Everything here is device-resident:
 
 - ``precond`` (default on accelerators): one-time device Cholesky of the
-  *regularized* P = AA^T + eps*I in float32, inverted into an explicit
-  dense M^-1 via blocked triangular inversion (all matmuls, MXU-friendly).
-  Each solve runs a fixed number of refinement sweeps
-      y <- y + M^-1 (rhs - AA^T y)
-  with the residual computed in float64 through the exact sparse A
-  (two tiny spmv's). For consistent rhs the sweep contracts the residual
-  by ~eps per application regardless of the near-null spectrum (measured
-  on the real PushT AA^T: eps=1e-4, two applications -> relative residual
+  *regularized* P = AA^T + eps*I in float32, kept as the triangular
+  factor; each application is a backward-stable cho_solve (measured
+  0.63 ms at con_num=17150 on TPU v5e -- XLA's blocked TRSM is fast,
+  and unlike an explicit inverse its residual does not scale with
+  cond(P)). Each solve runs a fixed number of refinement sweeps
+      y <- y + P^{-1} (rhs - AA^T y)
+  with the residual accumulated in float64 through the exact sparse A
+  (two tiny spmv's). For consistent rhs each sweep contracts the
+  residual by ~eps regardless of the near-null spectrum (measured on
+  the real PushT AA^T: eps=1e-4, two applications -> relative residual
   1.8e-8; the reference bar is CHOLMOD's backward-stable ~1e-15).
-- ``dense``: f64 device/CPU Cholesky of AA^T + eps*I, cho_solve per
-  application, plus the same f64 refinement (CPU-backend parity path).
+- ``dense``: identical solve path with an f64 factor (CPU parity path).
 - ``cg``: preconditioned conjugate gradient in f64 using only sparse
   matvecs, with an optional block-Jacobi preconditioner built from the
-  diagonal blocks of AA^T (for con_num too large to hold a dense M^-1).
+  diagonal blocks of AA^T (for con_num too large to hold a dense factor).
 - ``host``: scipy sparse LU once, host callback per solve -- the
   reference-style fallback; CPU backend only (TPU callbacks unsupported).
 
@@ -37,7 +38,6 @@ All modes expose ``solve(rhs, warm)`` usable inside jit.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import warnings
 from typing import Callable, Optional
 
@@ -58,31 +58,26 @@ def _hp_dtype():
 @dataclasses.dataclass
 class NormalEqSolver:
     mode: str
-    # dense: lower Cholesky factor (device array), else None.
+    # precond/dense: lower Cholesky factor of AA^T + eps*I (device array).
     chol_l: Optional[jax.Array]
-    # cg / precond-fallback: preconditioner pieces.
-    inv_diag: Optional[jax.Array]  # Jacobi (cg)
-    bj_inv: Optional[jax.Array]  # block-Jacobi (nb, bs, bs) (cg)
-    # precond: explicit (AA^T + eps I)^{-1} in factor dtype (device array).
-    minv: Optional[jax.Array]
+    # cg: preconditioner pieces (Jacobi diagonal or block-Jacobi inverses).
+    inv_diag: Optional[jax.Array]
+    bj_inv: Optional[jax.Array]  # (nb, bs, bs)
     # High-precision (f64 when available) sparse A for residuals/cg.
     sparse_a: Optional[SparseA]
     cg_tol: float
     cg_max_iter: int
-    # precond/dense: number of refinement applications per solve.
+    # precond/dense: refinement applications per solve.
     applies: int = 2
     # host: callable rhs(np) -> y(np)
     host_solve: Optional[Callable] = None
     eps_used: float = 0.0
 
-    # -- preconditioner application (factor-precision) -------------------
-    def _apply_minv(self, r: jax.Array) -> jax.Array:
-        if self.mode == "precond":
-            # One dense matvec on the MXU. Triangular solves on TPU are
-            # latency-bound sequential chains; the explicit inverse makes
-            # each application bandwidth-bound instead, and the f64
-            # refinement sweep restores the accuracy.
-            return (self.minv @ r.astype(self.minv.dtype)).astype(r.dtype)
+    def _apply_factor(self, r: jax.Array) -> jax.Array:
+        """Backward-stable P^{-1} r via two triangular solves at factor
+        precision. (An explicit inverse matvec is NOT backward stable: its
+        residual scales as cond(P)*eps32 ~ 1 on moment-SDP conditioning --
+        the round-1 failure mode.)"""
         return jax.scipy.linalg.cho_solve(
             (self.chol_l, True), r.astype(self.chol_l.dtype)
         ).astype(r.dtype)
@@ -93,11 +88,11 @@ class NormalEqSolver:
             rhs_hp = rhs.astype(hp)
             y = jnp.zeros_like(rhs_hp) if warm is None else warm.astype(hp)
             # Refinement against the exact AA^T: each sweep costs one
-            # preconditioner application plus two sparse matvecs and
-            # contracts the residual by ~eps_used (consistent rhs).
+            # cho_solve plus two sparse matvecs and contracts the residual
+            # by ~eps_used (consistent rhs).
             for _ in range(self.applies):
                 r = rhs_hp - _aat_matvec(self.sparse_a, y)
-                y = y + self._apply_minv(r).astype(hp)
+                y = y + self._apply_factor(r).astype(hp)
             return y.astype(rhs.dtype)
         if self.mode == "cg":
             hp = _hp_dtype()
@@ -131,7 +126,7 @@ class NormalEqSolver:
 
 jax.tree_util.register_dataclass(
     NormalEqSolver,
-    data_fields=["chol_l", "inv_diag", "bj_inv", "minv", "sparse_a"],
+    data_fields=["chol_l", "inv_diag", "bj_inv", "sparse_a"],
     meta_fields=["mode", "cg_tol", "cg_max_iter", "applies", "host_solve", "eps_used"],
 )
 
@@ -255,39 +250,6 @@ def _device_factorize(
             raise RuntimeError("AA^T Cholesky failed even with jitter 1e-1")
 
 
-def _blocked_tri_inv(L: jax.Array, base: int = 512) -> jax.Array:
-    """Explicit inverse of a lower-triangular matrix by recursive blocking.
-
-    inv([[A,0],[B,C]]) = [[inv(A),0],[-inv(C) B inv(A), inv(C)]] -- all
-    matmuls, so the MXU does the work. XLA's solve_triangular on a large
-    (n, n) identity RHS unrolls into O(n/128) full-width temporaries and
-    OOMs around n~17k; this stays at O(n^2) memory.
-    """
-    n = L.shape[0]
-    if n <= base:
-        return jax.scipy.linalg.solve_triangular(
-            L, jnp.eye(n, dtype=L.dtype), lower=True
-        )
-    m = ((n // 2) + 127) // 128 * 128
-    if m >= n:
-        m = n // 2
-    a_inv = _blocked_tri_inv(L[:m, :m], base)
-    c_inv = _blocked_tri_inv(L[m:, m:], base)
-    off = -c_inv @ (L[m:, :m] @ a_inv)
-    top = jnp.concatenate([a_inv, jnp.zeros((m, n - m), L.dtype)], axis=1)
-    bot = jnp.concatenate([off, c_inv], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
-
-
-@functools.partial(jax.jit, donate_argnums=0)
-def _spd_inv_from_chol(L: jax.Array) -> jax.Array:
-    """inv(L L^T) = L^{-T} L^{-1}, built without giant TRSM temporaries."""
-    li = _blocked_tri_inv(L)
-    return jax.lax.dot_general(
-        li, li, (((0,), (0,)), ((), ())), precision="highest"
-    )
-
-
 def _block_jacobi_inv(
     aat: sp.csr_matrix, con_num: int, block: int, eps: float, dtype
 ) -> jax.Array:
@@ -346,50 +308,30 @@ def build_normal_solver(
         mode = "precond"
     if mode == "auto":
         if con_num <= dense_chol_max:
-            # Explicit regularized inverse + refinement on accelerators
-            # (matvec beats TPU triangular solves and handles the singular
-            # AA^T of moment SDPs); true f64 Cholesky on CPU.
+            # Regularized f32 factor + f64 refinement on accelerators
+            # (handles the singular AA^T of moment SDPs; f64 Cholesky is
+            # software-emulated on TPU); true f64 Cholesky on CPU.
             mode = "precond" if (on_accel or jnp.dtype(dtype) == jnp.float32) else "dense"
         else:
             mode = "cg"
     if cg_tol is None or cg_tol <= 0.0:
         cg_tol = 64.0 * float(jnp.finfo(_hp_dtype()).eps)
 
-    if mode == "precond":
-        # Factor in f32: f64 Cholesky is software-emulated on TPU (and
-        # needs ~5x the memory); the f64 refinement sweep in solve()
-        # recovers the accuracy against the exact sparse AA^T.
-        fac_dtype = jnp.float32 if on_accel else jnp.dtype(dtype)
-        eps0 = max(precond_eps, 1e-12 if fac_dtype == jnp.float64 else 1e-5)
-        l, eps_used = _device_factorize(
-            at_svec_idx, at_con_idx, vals, con_num, vec_len, fac_dtype, eps0
-        )
-        minv = _spd_inv_from_chol(l)
-        return NormalEqSolver(
-            mode="precond",
-            chol_l=None,
-            inv_diag=None,
-            bj_inv=None,
-            minv=minv,
-            sparse_a=sa_hp,
-            cg_tol=cg_tol,
-            cg_max_iter=cg_max_iter,
-            applies=applies,
-            eps_used=eps_used,
-        )
-
-    if mode == "dense":
-        fac_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        eps0 = max(eps, 1e-14 if fac_dtype == jnp.float64 else 1e-5)
+    if mode in ("precond", "dense"):
+        if mode == "precond":
+            fac_dtype = jnp.float32 if on_accel else jnp.dtype(dtype)
+            eps0 = max(precond_eps, 1e-12 if fac_dtype == jnp.float64 else 1e-5)
+        else:
+            fac_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            eps0 = max(eps, 1e-14 if fac_dtype == jnp.float64 else 1e-5)
         l, eps_used = _device_factorize(
             at_svec_idx, at_con_idx, vals, con_num, vec_len, fac_dtype, eps0
         )
         return NormalEqSolver(
-            mode="dense",
+            mode=mode,
             chol_l=l,
             inv_diag=None,
             bj_inv=None,
-            minv=None,
             sparse_a=sa_hp,
             cg_tol=cg_tol,
             cg_max_iter=cg_max_iter,
@@ -413,7 +355,6 @@ def build_normal_solver(
             chol_l=None,
             inv_diag=inv_diag,
             bj_inv=bj,
-            minv=None,
             sparse_a=sa_hp,
             cg_tol=cg_tol,
             cg_max_iter=cg_max_iter,
@@ -433,7 +374,6 @@ def build_normal_solver(
             chol_l=None,
             inv_diag=None,
             bj_inv=None,
-            minv=None,
             sparse_a=None,
             cg_tol=cg_tol,
             cg_max_iter=cg_max_iter,

@@ -126,6 +126,24 @@ def psd_project_pool(
             parts.append(jnp.maximum(seg, 0.0))
             continue
         bt = shard_blocks(seg.reshape(count, n, n), mesh)
+        # Packed super-matrices: norm-equalize each real block along the
+        # diagonal (projection is positively homogeneous), so small-norm
+        # packmates keep *relative* accuracy instead of inheriting the
+        # largest packmate's absolute error floor.
+        packed = bool(bm.get("packed") and bm["packed"].value)
+        if packed:
+            gid = bm["diag_group"]  # (count, n), padding -> n_groups
+            G = bm["n_groups"].value
+            rowsq = jnp.sum(bt * bt, axis=-1).reshape(-1)
+            sums = jax.ops.segment_sum(
+                rowsq, gid.reshape(-1), num_segments=G + 1,
+                indices_are_sorted=False,
+            )
+            norms = jnp.sqrt(sums)
+            ok = norms > jnp.finfo(bt.dtype).tiny * 16
+            s_blk = jnp.where(ok, 1.0 / jnp.where(ok, norms, 1.0), 1.0)
+            s_row = s_blk[gid]  # (count, n): block-diag => row scale == block scale
+            bt = bt * s_row[:, :, None]
         if method == "poly" and (eigh_by_bucket or {}).get(i) is None:
             from cuadmm_tpu.ops.polyfilter import psd_project_poly
 
@@ -134,6 +152,9 @@ def psd_project_pool(
             fn = (eigh_by_bucket or {}).get(i, xla_eigh)
             w, v = fn(bt)
             proj = reconstruct_clamped(w, v, eig_rank)
+        if packed:
+            u_blk = jnp.where(ok, norms, 1.0)
+            proj = proj * u_blk[gid][:, :, None]
         proj = shard_blocks(proj * bm["pad_mask"], mesh)
         parts.append(proj.reshape(-1))
     if maps["free_pos"].shape[0]:

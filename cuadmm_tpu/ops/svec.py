@@ -45,6 +45,17 @@ def device_maps(structure, dtype) -> Dict[str, Any]:
                 base=Static(int(structure.bucket_base[bi])),
                 n=Static(int(bk.n)),
                 count=Static(int(bk.count)),
+                # Per-block norm equalization tables (packed buckets only):
+                # projection is positively homogeneous, so scaling each real
+                # block to unit Frobenius norm before the super-matrix
+                # projection and back is exact, and keeps packmates with
+                # wildly different norms relatively accurate in f32.
+                packed=Static(bool(bk.packed)),
+                n_groups=Static(int(bk.n_groups)),
+                diag_group=jnp.asarray(
+                    np.where(bk.diag_blkid >= 0, bk.diag_blkid, bk.n_groups),
+                    jnp.int32,
+                ),
                 pad_mask=jnp.asarray(bk.gather_scale != 0.0, dtype=dtype),
                 pool_pos_global=jnp.asarray(
                     bk.pool_pos + structure.bucket_base[bi]

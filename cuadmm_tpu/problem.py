@@ -45,6 +45,8 @@ class Problem:
       b_indices/b_vals: sparse rhs (length con_num).
       C_indices/C_vals: sparse cost in svec form (length vec_len).
       X0/y0/S0: optional warm starts (dense, unscaled).
+      sig0: optional warm-start sigma (reference: sig.txt read at
+        src/problem.cu:82 / test/duo_solver_test.hpp:46).
     """
 
     blk: List[Tuple[str, int]]
@@ -59,6 +61,7 @@ class Problem:
     X0: Optional[np.ndarray] = None
     y0: Optional[np.ndarray] = None
     S0: Optional[np.ndarray] = None
+    sig0: Optional[float] = None
     name: str = ""
 
     @property
@@ -112,12 +115,16 @@ class Problem:
         p = prefix if prefix.endswith(os.sep) else prefix + os.sep
         blk = txtio.read_blk(p + "blk.txt")
 
-        X0 = y0 = S0 = None
+        X0 = y0 = S0 = sig0 = None
         if warm_start:
             X0 = txtio.read_dense_vector(p + "X.txt")
             y0 = txtio.read_dense_vector(p + "y.txt")
             S0 = txtio.read_dense_vector(p + "S.txt")
             con_num = len(y0)
+            # Warm-start sigma (reference: src/problem.cu:82 reads sig.txt
+            # alongside X/y/S; test/duo_solver_test.hpp:46).
+            if os.path.exists(p + "sig.txt"):
+                sig0 = float(txtio.read_dense_vector(p + "sig.txt")[0])
         else:
             con_num = int(txtio.read_dense_vector(p + "con_num.txt")[0])
 
@@ -139,6 +146,7 @@ class Problem:
             X0=X0,
             y0=y0,
             S0=S0,
+            sig0=sig0,
             name=name or os.path.basename(os.path.normpath(prefix)),
         )
         for w in prob.validate():

@@ -254,7 +254,12 @@ class SDPSolver:
         cfg = self.config
         max_iter = cfg.max_iter if max_iter is None else int(max_iter)
         stop_tol = cfg.stop_tol if stop_tol is None else float(stop_tol)
-        sig = cfg.sig if sig is None else float(sig)
+        if sig is None:
+            # Problem-provided warm-start sigma (reference: sig.txt,
+            # src/problem.cu:82) wins over the config default.
+            sig = cfg.sig if self.problem.sig0 is None else float(self.problem.sig0)
+        else:
+            sig = float(sig)
 
         if X0 is not None or y0 is not None or S0 is not None:
             sc = self.scaling

@@ -79,6 +79,14 @@ class Bucket:
     pool_pos: np.ndarray  # (tri_total,) int64
     out_scale: np.ndarray  # (tri_total,) float64
     svec_pos: np.ndarray  # (tri_total,) int64
+    # Per diagonal position: ordinal of the real block occupying it
+    # (packing lays several blocks along one super-matrix diagonal);
+    # -1 on padding. Lets the projection norm-equalize each real block
+    # (projection is positively homogeneous) so packmates with wildly
+    # different norms keep *relative* accuracy in f32.
+    diag_blkid: np.ndarray = None  # (count, n) int32
+    n_groups: int = 0
+    packed: bool = False
 
 
 class BlockStructure:
@@ -162,6 +170,14 @@ class BlockStructure:
             out_scale_parts: List[np.ndarray] = []
             svec_pos_parts: List[np.ndarray] = []
             sizes = np.empty(count, dtype=np.int32)
+            diag_blkid = np.full((count, n_pad), -1, dtype=np.int32)
+            gofs = 0  # running block ordinal within the bucket
+            for b, group in enumerate(groups):
+                d = 0  # diagonal offset inside the super-matrix
+                for off, n in group:
+                    diag_blkid[b, d : d + n] = gofs
+                    gofs += 1
+                    d += n
             for b, group in enumerate(groups):
                 d = 0  # diagonal offset inside the super-matrix
                 for off, n in group:
@@ -191,6 +207,9 @@ class BlockStructure:
                     pool_pos=np.concatenate(pool_pos_parts) if pool_pos_parts else np.empty(0, np.int64),
                     out_scale=np.concatenate(out_scale_parts) if out_scale_parts else np.empty(0),
                     svec_pos=np.concatenate(svec_pos_parts) if svec_pos_parts else np.empty(0, np.int64),
+                    diag_blkid=diag_blkid,
+                    n_groups=gofs,
+                    packed=gofs > count,
                 )
             )
 

@@ -94,6 +94,31 @@ def test_problem_from_txt_roundtrip(tmp_path):
     np.testing.assert_allclose(At, A.T, rtol=1e-12)
 
 
+def test_warm_start_sig_txt(tmp_path):
+    """sig.txt is read alongside X/y/S warm starts (reference:
+    src/problem.cu:82, test/duo_solver_test.hpp:46)."""
+    rng = np.random.default_rng(1)
+    blk = [("s", 2)]
+    vec_len, con = 3, 2
+    A = rng.standard_normal((con, vec_len))
+    prob = Problem.from_dense(blk, A, rng.standard_normal(con), rng.standard_normal(vec_len))
+    d = str(tmp_path / "p")
+    prob.to_txt(d)
+    for name, n in [("X", vec_len), ("y", con), ("S", vec_len)]:
+        np.savetxt(f"{d}/{name}.txt", rng.standard_normal(n))
+    with open(f"{d}/sig.txt", "w") as f:
+        f.write("42.5\n")
+    p2 = Problem.from_txt(d, warm_start=True)
+    assert p2.sig0 == 42.5
+    assert p2.X0 is not None and len(p2.X0) == vec_len
+    # Without sig.txt the field stays None.
+    import os
+
+    os.remove(f"{d}/sig.txt")
+    p3 = Problem.from_txt(d, warm_start=True)
+    assert p3.sig0 is None
+
+
 def test_problem_reference_fixture():
     """Load a real reference problem directory end to end."""
     prob = Problem.from_txt("/root/reference/examples/dimacs/data/TXT/truss5")

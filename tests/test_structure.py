@@ -153,6 +153,49 @@ def test_packed_roundtrip_and_projection():
     np.testing.assert_allclose(p1, p0, rtol=1e-9, atol=1e-9)
 
 
+def test_packed_heteronorm_f32_accuracy():
+    """Packmates with wildly different norms must keep *relative* accuracy
+    in f32 (VERDICT weak#10): without per-block norm equalization a block
+    with norm 1e-5 packed next to a norm-1 block inherits the big block's
+    absolute error floor (~l0 * s_super = 1e-4 for the poly filter)."""
+    import jax
+    from cuadmm_tpu.ops.projection import psd_project_pool
+    from cuadmm_tpu.ops.svec import pool_from_svec, svec_from_pool
+
+    rng = np.random.default_rng(3)
+    blk = [("s", 5), ("s", 5)]
+    st = BlockStructure(blk, rounding="pow2", pack_to=16)
+    assert st.buckets[0].packed and st.buckets[0].n_groups == 2
+
+    def sym_svec(n, scale):
+        m = rng.standard_normal((n, n)) * scale
+        m = (m + m.T) / 2
+        r, c = np.tril_indices(n)
+        v = m[r, c] * np.where(r == c, 1.0, np.sqrt(2.0))
+        return m, v
+
+    m_big, v_big = sym_svec(5, 1.0)
+    m_small, v_small = sym_svec(5, 1e-5)
+    x = np.concatenate([v_big, v_small])
+
+    def exact_proj(m):
+        w, v = np.linalg.eigh(m)
+        return (v * np.maximum(w, 0)) @ v.T
+
+    maps = device_maps(st, jnp.float32)
+    pool = pool_from_svec(jnp.asarray(x, jnp.float32), maps)
+    for method in ("eigh", "poly"):
+        with jax.default_matmul_precision("highest"):
+            proj_pool = psd_project_pool(pool, maps, method=method)
+        proj = np.asarray(svec_from_pool(proj_pool, maps), np.float64)
+        for sl, m, nm in [(slice(0, 15), m_big, 1.0), (slice(15, 30), m_small, 1e-5)]:
+            exp = exact_proj(m)
+            r, c = np.tril_indices(5)
+            exp_svec = exp[r, c] * np.where(r == c, 1.0, np.sqrt(2.0))
+            rel = np.linalg.norm(proj[sl] - exp_svec) / nm
+            assert rel < 5e-3, f"{method}: relative error {rel:.2e} on norm-{nm} block"
+
+
 def test_packed_bins_capacity():
     """No super-matrix overflows pack_to; all packable blocks are placed."""
     rng = np.random.default_rng(11)
