@@ -25,14 +25,16 @@ import jax
 import jax.numpy as jnp
 
 
-def ns_project(mats: jax.Array, iters: int = 24) -> jax.Array:
-    """PSD projection via Newton-Schulz sign iteration (matmuls only)."""
-    nrm = jnp.sqrt(jnp.sum(mats * mats, axis=(-1, -2), keepdims=True)) + 1e-30
-    y = mats / nrm
-    for _ in range(iters):
-        y2 = jnp.matmul(y, y, precision="highest")
-        y = 1.5 * y - 0.5 * jnp.matmul(y, y2, precision="highest")
-    return 0.5 * (mats + jnp.matmul(y, mats, precision="highest"))
+def poly_project(mats: jax.Array) -> jax.Array:
+    """The production matmul-only projection (ops/polyfilter.py) -- this is
+    what `projection="poly"` actually dispatches, so its timing is what the
+    calibration table must record."""
+    import os, sys as _s
+
+    _s.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from cuadmm_tpu.ops.polyfilter import psd_project_poly
+
+    return psd_project_poly(mats)
 
 
 def eigh_project(mats: jax.Array) -> jax.Array:
@@ -81,7 +83,7 @@ def main() -> None:
             m = (m + m.transpose(0, 2, 1)) / 2
             row = {"n": n, "batch": b, "dtype": args.dtype}
             row["eigh_ms"] = timeit(eigh_project, m) * 1e3
-            row["ns24_ms"] = timeit(ns_project, m) * 1e3
+            row["poly_ms"] = timeit(poly_project, m) * 1e3
             rows.append(row)
             print(json.dumps(row), flush=True)
 

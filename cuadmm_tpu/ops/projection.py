@@ -84,8 +84,9 @@ def psd_project(
             # batches, src/solver.cu:580-592 -- pure overhead there too).
             projected.append(jnp.maximum(bt, 0.0))
             continue
-        bt = shard_blocks(bt, mesh)
-        if method == "poly" and (eigh_by_bucket or {}).get(i) is None:
+        meth = method.get(i, "eigh") if isinstance(method, dict) else method
+        bt = shard_blocks(bt, mesh, inner_if_few=meth == "poly")
+        if meth == "poly" and (eigh_by_bucket or {}).get(i) is None:
             # Matmul-only composite polynomial filter (ops/polyfilter.py):
             # no eigendecomposition; every FLOP on the MXU.
             from cuadmm_tpu.ops.polyfilter import psd_project_poly
@@ -125,7 +126,11 @@ def psd_project_pool(
         if n == 1:
             parts.append(jnp.maximum(seg, 0.0))
             continue
-        bt = shard_blocks(seg.reshape(count, n, n), mesh)
+        # ``method`` may be a per-bucket dict from the calibrated dispatch
+        # (ops/dispatch.py; the analog of is_large_mat, src/matrix_sizes.cu:14-19).
+        meth = method.get(i, "eigh") if isinstance(method, dict) else method
+        inner = meth == "poly"  # matmul-only path partitions spatially
+        bt = shard_blocks(seg.reshape(count, n, n), mesh, inner_if_few=inner)
         # Packed super-matrices: norm-equalize each real block along the
         # diagonal (projection is positively homogeneous), so small-norm
         # packmates keep *relative* accuracy instead of inheriting the
@@ -144,7 +149,7 @@ def psd_project_pool(
             s_blk = jnp.where(ok, 1.0 / jnp.where(ok, norms, 1.0), 1.0)
             s_row = s_blk[gid]  # (count, n): block-diag => row scale == block scale
             bt = bt * s_row[:, :, None]
-        if method == "poly" and (eigh_by_bucket or {}).get(i) is None:
+        if meth == "poly" and (eigh_by_bucket or {}).get(i) is None:
             from cuadmm_tpu.ops.polyfilter import psd_project_poly
 
             proj = psd_project_poly(bt)
@@ -155,7 +160,7 @@ def psd_project_pool(
         if packed:
             u_blk = jnp.where(ok, norms, 1.0)
             proj = proj * u_blk[gid][:, :, None]
-        proj = shard_blocks(proj * bm["pad_mask"], mesh)
+        proj = shard_blocks(proj * bm["pad_mask"], mesh, inner_if_few=inner)
         parts.append(proj.reshape(-1))
     if maps["free_pos"].shape[0]:
         fb = maps["free_base"].value

@@ -36,14 +36,44 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (BLOCK_AXIS,))
 
 
-def shard_blocks(x: jax.Array, mesh: Optional[Mesh]) -> jax.Array:
+def shard_blocks(
+    x: jax.Array, mesh: Optional[Mesh], inner_if_few: bool = False
+) -> jax.Array:
     """Constrain a (count, n, n) bucket tensor to be sharded over its batch
-    axis. No-op when mesh is absent or the bucket is too small to split."""
-    if mesh is None or mesh.size <= 1 or x.shape[0] < mesh.size:
+    axis.
+
+    When the bucket has fewer blocks than devices (the quasar-500 profile:
+    ONE 2004x2004 moment block, reference examples/plato/logs/quasar-500.log)
+    batch sharding is a no-op; with ``inner_if_few`` we instead shard the
+    *row* axis of each block. That only pays off for projection methods
+    that are pure matmuls (the polynomial filter): XLA's SPMD partitioner
+    splits each GEMM spatially and rides ICI with reduce-scatters, the
+    TPU answer to a block that is too big for one device's speed. For
+    eigh-based projection XLA would just all-gather, so leave it alone.
+    """
+    if mesh is None or mesh.size <= 1:
         return x
-    return jax.lax.with_sharding_constraint(
-        x, NamedSharding(mesh, P(BLOCK_AXIS, None, None))
-    )
+    if x.shape[0] >= mesh.size:
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(BLOCK_AXIS, None, None))
+        )
+    if inner_if_few and x.shape[1] >= 2 * mesh.size:
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(None, BLOCK_AXIS, None))
+        )
+    return x
+
+
+def shard_pool(x: jax.Array, mesh: Optional[Mesh]) -> jax.Array:
+    """Constrain a flat pool-coordinate state vector to be sharded 1-D over
+    the mesh, so the per-iteration vector algebra (X/S updates, residual
+    norms) is distributed too, not just the projection. XLA lowers the
+    norm/dot reductions over the sharded axis to psum collectives --
+    the SPMD counterpart of the reference shipping every moment slice back
+    to GPU0 before reducing on the host (src/duo_solver.cu:545-564)."""
+    if mesh is None or mesh.size <= 1:
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(BLOCK_AXIS)))
 
 
 def replicated(x: jax.Array, mesh: Optional[Mesh]) -> jax.Array:

@@ -84,19 +84,34 @@ class SDPSolver:
         prob, cfg = self.problem, self.config
         t0 = time.perf_counter()
 
+        backend = jax.default_backend()
+        on_tpu = backend in ("tpu", "axon")
         self._projection = cfg.projection
-        if self._projection == "auto":
-            self._projection = "poly" if jax.default_backend() == "tpu" else "eigh"
         if cfg.eig_rank is not None:
             self._projection = "eigh"  # top-k needs explicit eigenvalues
         pack_to = cfg.pack_to
         if pack_to is None:
-            pack_to = 128 if jax.default_backend() == "tpu" else 0
+            pack_to = 128 if on_tpu else 0
         if cfg.eig_rank is not None:
             pack_to = 0  # per-block top-k is not preserved under packing
         self.structure = BlockStructure(
             prob.blk, cfg.bucket_rounding, cfg.exact_above, pack_to
         )
+        if self._projection == "auto":
+            # Calibrated per-bucket dispatch from the committed TPU sweep
+            # (the analog of is_large_mat, reference src/matrix_sizes.cu:14-19,
+            # derived from test/output/single_batched_comparison.txt).
+            from cuadmm_tpu.ops.dispatch import choose_methods
+
+            per_bucket = choose_methods(
+                [(bk.n, bk.count) for bk in self.structure.buckets],
+                "tpu" if on_tpu else backend,
+                "float32" if self.dtype == jnp.float32 else "float64",
+            )
+            if per_bucket is not None:
+                self._projection = per_bucket
+            else:
+                self._projection = "poly" if on_tpu else "eigh"
         if self.structure.vec_len != prob.vec_len:
             raise ValueError("block structure does not match problem vec_len")
         vec_len, con_num = prob.vec_len, prob.con_num

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from cuadmm_tpu.ops.chol import NormalEqSolver
 from cuadmm_tpu.ops.projection import psd_project_pool
 from cuadmm_tpu.ops.sparse import spmv_a, spmv_at
+from cuadmm_tpu.parallel.mesh import shard_pool
 from cuadmm_tpu.solver.state import SolveParams, SolverState
 
 TAU_SGS = 1.95  # reference: src/solver.cu:748
@@ -72,8 +73,8 @@ def make_step(
                 eig_rank=eig_rank,
                 method=projection,
             )
-            S = (Xproj - state.X) / sig - Rd1
-            SmC = S - params.C
+            S = shard_pool((Xproj - state.X) / sig - Rd1, mesh)
+            SmC = shard_pool(S - params.C, mesh)
 
             # -- Step 3: sGS second solve / best tracking ----------------
             in_sgs = it < switch_admm
@@ -108,7 +109,7 @@ def make_step(
             tau = jnp.where(
                 state.errRd < stop_tol, jnp.maximum(TAU_ADMM, tau / 1.1), tau
             )
-            X = state.X + (tau * sig) * Rd
+            X = shard_pool(state.X + (tau * sig) * Rd, mesh)
 
             # -- Step 5: residuals, objectives, sigma --------------------
             Rp = params.b - spmv_a(sa, X)
