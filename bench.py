@@ -44,13 +44,15 @@ if _dtype_env is None:
 
 # Persistent compilation cache: the remote-compile service behind the TPU
 # tunnel takes minutes for the solver's scanned iteration program; cached
-# executables load in seconds.
-_CACHE_DIR = os.environ.get(
-    "BENCH_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-)
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# executables load in seconds. TPU-only: XLA:CPU caches host AOT machine
+# code that segfaults when loaded on a host with different CPU features.
+if jax.default_backend() in ("tpu", "axon"):
+    _CACHE_DIR = os.environ.get(
+        "BENCH_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

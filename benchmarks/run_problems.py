@@ -89,11 +89,16 @@ def main() -> None:
     # x64 always: the normal-equation refinement accumulates in f64 even
     # for float32 state (ops/chol.py).
     jax.config.update("jax_enable_x64", True)
-    cache = args.cache_dir or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
-    )
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    # Persistent compile cache ONLY on TPU: XLA:CPU caches AOT machine code
+    # keyed without full host-CPU features, and loading a blob compiled on a
+    # different machine segfaults (observed: ros_2000 on a 2-core host
+    # reusing another host's cache).
+    if jax.default_backend() in ("tpu", "axon"):
+        cache = args.cache_dir or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+        )
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
     from cuadmm_tpu import SDPSolver, SolverConfig
 
