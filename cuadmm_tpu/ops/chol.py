@@ -209,21 +209,32 @@ def _device_factorize(
     cholesky_cpu.h:50; plain Cholesky needs the diagonal safely positive).
     """
     itemsize = jnp.dtype(dtype).itemsize
+    if jax.default_backend() not in ("tpu", "gpu", "axon"):
+        # XLA:CPU kernels use 32-bit byte offsets; any buffer over 2 GiB
+        # (dense A here, or the factor itself) can segfault. Route oversize
+        # builds through the host sparse product instead.
+        dense_a_build_limit = min(dense_a_build_limit, 2**31 - 1)
     rows = jnp.asarray(at_con_idx, jnp.int32)
     cols = jnp.asarray(at_svec_idx, jnp.int32)
     v = jnp.asarray(vals, dtype)
 
+    # NB: the HIGHEST-precision context must wrap *tracing*, not just the
+    # call: jnp.linalg.cholesky's blocked rank-k updates and the TRSMs pick
+    # up the ambient matmul precision, which on TPU defaults to bf16 inputs
+    # -- a bf16-updated factor of a cond~1e7 regularized AA^T is garbage
+    # and silently poisons every subsequent solve.
     if con_num * vec_len * itemsize <= dense_a_build_limit:
 
         @jax.jit
         def fac(rows, cols, v, eps_arr):
-            a = jnp.zeros((con_num, vec_len), dtype).at[rows, cols].add(v)
-            aat = jax.lax.dot_general(
-                a, a, (((1,), (1,)), ((), ())), precision="highest"
-            )
-            scale = jnp.maximum(jnp.trace(aat) / con_num, 1.0)
-            aat = aat + (eps_arr * scale) * jnp.eye(con_num, dtype=dtype)
-            l = jnp.linalg.cholesky(aat)
+            with jax.default_matmul_precision("highest"):
+                a = jnp.zeros((con_num, vec_len), dtype).at[rows, cols].add(v)
+                aat = jax.lax.dot_general(
+                    a, a, (((1,), (1,)), ((), ())), precision="highest"
+                )
+                scale = jnp.maximum(jnp.trace(aat) / con_num, 1.0)
+                aat = aat + (eps_arr * scale) * jnp.eye(con_num, dtype=dtype)
+                l = jnp.linalg.cholesky(aat)
             return l, jnp.isfinite(l[-1, -1])
 
         make = lambda e: fac(rows, cols, v, jnp.asarray(e, dtype))
@@ -234,8 +245,9 @@ def _device_factorize(
 
         @jax.jit
         def fac2(aat, eps_arr):
-            aat = aat + (eps_arr * tr) * jnp.eye(con_num, dtype=dtype)
-            l = jnp.linalg.cholesky(aat)
+            with jax.default_matmul_precision("highest"):
+                aat = aat + (eps_arr * tr) * jnp.eye(con_num, dtype=dtype)
+                l = jnp.linalg.cholesky(aat)
             return l, jnp.isfinite(l[-1, -1])
 
         make = lambda e: fac2(aat_dev, jnp.asarray(e, dtype))
@@ -306,6 +318,10 @@ def build_normal_solver(
     sa_hp = sparse_a_hp if sparse_a_hp is not None else sparse_a
     if mode == "inv":  # legacy alias from round 1
         mode = "precond"
+    # XLA:CPU emits kernels with 32-bit byte offsets: cholesky/trsm on a
+    # buffer > 2 GiB segfaults (observed at con_num=19988 f64 = 3.2 GiB).
+    # Keep any single CPU factor under that line.
+    cpu_max_factor_bytes = 2**31 - 1
     if mode == "auto":
         if con_num <= dense_chol_max:
             # Regularized f32 factor + f64 refinement on accelerators
@@ -314,6 +330,11 @@ def build_normal_solver(
             mode = "precond" if (on_accel or jnp.dtype(dtype) == jnp.float32) else "dense"
         else:
             mode = "cg"
+        if not on_accel:
+            if mode == "dense" and con_num * con_num * 8 > cpu_max_factor_bytes:
+                mode = "precond"  # f32 factor is half the bytes
+            if mode == "precond" and con_num * con_num * 4 > cpu_max_factor_bytes:
+                mode = "cg"
     if cg_tol is None or cg_tol <= 0.0:
         cg_tol = 64.0 * float(jnp.finfo(_hp_dtype()).eps)
 

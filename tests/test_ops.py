@@ -241,3 +241,40 @@ def test_spmv_skewed_row_populations():
     np.testing.assert_allclose(
         np.asarray(sparse_ops.spmv_at(sa, jnp.asarray(y))), At @ y, rtol=1e-11
     )
+
+
+@pytest.mark.slow
+def test_precond_real_pusht_aat_residual():
+    """VERDICT round-1 'Done' bar, verbatim: the normal-solve relative
+    residual must be < 1e-5 on the REAL PushT N=10 AA^T in the bench dtype
+    (float32 state). Reference: examples/SPOT/data/TXT/PushT_N=10_MOMENT;
+    capability bar include/cuadmm/cholesky_cpu.h:62-155 (CHOLMOD LDLt,
+    eps 1e-15, exact solves)."""
+    import os
+
+    path = "/root/reference/examples/SPOT/data/TXT/PushT_N=10_MOMENT"
+    if not os.path.isdir(path):
+        pytest.skip("reference data unavailable")
+    from cuadmm_tpu.problem import Problem
+
+    prob = Problem.from_txt(path)
+    # Row-normalize exactly as the driver does (src/solver.cu:79-80).
+    _, at_vals = sparse_ops.normalize_rows(
+        prob.At_rows, prob.At_cols, prob.At_vals, prob.con_num
+    )
+    sa_hp = sparse_ops.build_sparse_a(
+        prob.At_rows, prob.At_cols, at_vals, prob.con_num, prob.vec_len, jnp.float64
+    )
+    sa = sparse_ops.cast_sparse_a(sa_hp, jnp.float32)
+    neq = chol_ops.build_normal_solver(
+        prob.At_rows, prob.At_cols, at_vals, prob.con_num, prob.vec_len,
+        sa, "precond", jnp.float32, sparse_a_hp=sa_hp,
+    )
+    # Consistent rhs of the shape the iteration produces: rhs = A(z).
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal(prob.vec_len)
+    rhs = np.asarray(sparse_ops.spmv_a(sa_hp, jnp.asarray(z)), np.float64)
+    y = jax.jit(neq.solve)(jnp.asarray(rhs, jnp.float32))
+    assert np.all(np.isfinite(np.asarray(y)))
+    res = float(neq.residual_norm(jnp.asarray(rhs, jnp.float32), y))
+    assert res < 1e-5, f"PushT normal-solve relative residual {res:.2e} >= 1e-5"
