@@ -116,6 +116,15 @@ class SolverConfig:
     # (working version of the reference's get_eig_rank_mask experiment).
     eig_rank: int | None = None
 
+    # Divergence auto-recovery: when a chunk produces non-finite residuals,
+    # restart from the best finite iterate with escalated numerics (eigh
+    # projection + extra refinement sweeps, then a factor-free CG normal
+    # solver) before aborting. The reference never needs this -- CHOLMOD
+    # f64 host solves are exact every iteration (cholesky_cpu.h:62-155);
+    # an accelerator platform can corrupt any single stage, so the driver
+    # self-heals instead of wasting the run.
+    divergence_recovery: bool = True
+
     # Logging.
     verbose: bool = True
 

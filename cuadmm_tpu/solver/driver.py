@@ -57,6 +57,8 @@ class SDPResult:
     sig: float
     total_time: float
     info: Dict[str, np.ndarray]
+    # Divergence auto-recovery restarts taken (0 = clean run).
+    recoveries: int = 0
 
 
 class SDPSolver:
@@ -153,6 +155,7 @@ class SDPSolver:
             if self.dtype == jnp.dtype(hp_dtype)
             else sparse_ops.cast_sparse_a(sa_hp, self.dtype)
         )
+        self._sa_hp = sa_hp
         neq = chol_ops.build_normal_solver(
             prob.At_rows,
             prob.At_cols,
@@ -245,13 +248,66 @@ class SDPSolver:
         )
 
     def _runner(self, step, chunk: int, stop_tol: float):
-        # Key on stop_tol too: the step closure bakes it into the
-        # done-guard, so solves at different tolerances need distinct
-        # compilations.
-        key = (chunk, stop_tol)
+        # Key on stop_tol and the step closure itself: the step bakes
+        # stop_tol into the done-guard, and divergence recovery swaps in an
+        # escalated step mid-solve -- each needs a distinct compilation.
+        key = (chunk, stop_tol, step)
         if key not in self._chunk_runners:
             self._chunk_runners[key] = make_chunk_runner(step, chunk)
         return self._chunk_runners[key]
+
+    def _recovery_restart(self, state: SolverState, level: int):
+        """Escalated numerics + restart iterate after a non-finite chunk.
+
+        Level 1 forces the eigh projection (exact, platform-independent) and
+        adds refinement sweeps to the normal solver; level 2 swaps in a
+        factor-free CG normal solver, which bypasses a possibly-corrupted
+        Cholesky factor entirely. The iterate restarts from the best finite
+        iterate seen so far (falling back to the initial point). The
+        reference has no counterpart: its CHOLMOD f64 host solves are exact
+        every iteration (reference: include/cuadmm/cholesky_cpu.h:62-155).
+        """
+        cfg, prob = self.config, self.problem
+        neq = self.params.neq
+        if level == 1:
+            if neq.mode in ("precond", "dense"):
+                neq = dataclasses.replace(neq, applies=neq.applies + 2)
+        else:
+            rows, cols, vals = self._at_triplets
+            neq = chol_ops.build_normal_solver(
+                rows,
+                cols,
+                vals,
+                prob.con_num,
+                prob.vec_len,
+                self.params.sparse_a,
+                "cg",
+                self.dtype,
+                eps=cfg.aat_eps,
+                cg_tol=cfg.cg_tol,
+                cg_max_iter=max(cfg.cg_max_iter, 800),
+                cg_block_jacobi=cfg.cg_block_jacobi,
+                sparse_a_hp=self._sa_hp,
+            )
+        self.params = dataclasses.replace(self.params, neq=neq)
+
+        X_s = y_s = S_s = None
+        if np.isfinite(float(state.best_kkt)):
+            X_s = np.asarray(self._from_pool(state.X_best), np.float64)
+            y_s = np.asarray(state.y_best, np.float64)
+            S_s = np.asarray(self._from_pool(state.S_best), np.float64)
+            if not (
+                np.all(np.isfinite(X_s))
+                and np.all(np.isfinite(y_s))
+                and np.all(np.isfinite(S_s))
+            ):
+                X_s = None  # best-iterate buffers were poisoned mid-update
+        if X_s is None:
+            X_s, y_s, S_s = self._initial_scaled
+        sig = float(state.sig)
+        if not np.isfinite(sig) or sig <= 0:
+            sig = cfg.sig if prob.sig0 is None else float(prob.sig0)
+        return self._initial_state(X_s, y_s, S_s, sig)
 
     # ------------------------------------------------------------------
     def solve(
@@ -286,18 +342,22 @@ class SDPSolver:
             X_s, y_s, S_s = self._initial_scaled
 
         state = self._initial_state(X_s, y_s, S_s, sig)
-        step = make_step(
-            stop_tol=stop_tol,
-            switch_admm=cfg.switch_admm,
-            sig_update_threshold=cfg.sig_update_threshold,
-            sig_update_stage_1=cfg.sig_update_stage_1,
-            sig_min=cfg.sig_min,
-            sig_max=cfg.sig_max,
-            eigh_by_bucket=self._eigh_by_bucket,
-            mesh=self.mesh,
-            eig_rank=cfg.eig_rank,
-            projection=self._projection,
-        )
+
+        def mk_step(projection):
+            return make_step(
+                stop_tol=stop_tol,
+                switch_admm=cfg.switch_admm,
+                sig_update_threshold=cfg.sig_update_threshold,
+                sig_update_stage_1=cfg.sig_update_stage_1,
+                sig_min=cfg.sig_min,
+                sig_max=cfg.sig_max,
+                eigh_by_bucket=self._eigh_by_bucket,
+                mesh=self.mesh,
+                eig_rank=cfg.eig_rank,
+                projection=projection,
+            )
+
+        step = mk_step(self._projection)
 
         log = IterLogger(enabled=cfg.verbose)
         log.header(self.scaling.norm_Corg, self.scaling.norm_borg)
@@ -309,6 +369,7 @@ class SDPSolver:
         chunk_idx = 0
         profiled = False
         diverged = False
+        recoveries = 0
         converged = float(np.maximum(state.maxfeas, state.relgap)) < stop_tol
         while it_done < max_iter and not converged:
             chunk = min(cfg.check_every, max_iter - it_done)
@@ -340,11 +401,26 @@ class SDPSolver:
             # rather than scan through NaNs forever.
             bad = np.nonzero(~np.isfinite(kkt))[0]
             if bad.size:
-                diverged = True
                 keep = int(bad[0]) + 1
-                info_np = info_np[:keep]
+                info_rows.append(info_np[:keep])
                 it_done += keep
-                info_rows.append(info_np)
+                if cfg.divergence_recovery and recoveries < 2:
+                    recoveries += 1
+                    if cfg.verbose:
+                        print(
+                            f"  [recovery {recoveries}] non-finite residuals at "
+                            f"iteration {it_done}; restarting from best iterate "
+                            "with escalated numerics"
+                            + (
+                                " (eigh projection, +2 refinement sweeps)"
+                                if recoveries == 1
+                                else " (factor-free CG normal solver)"
+                            )
+                        )
+                    state = self._recovery_restart(state, recoveries)
+                    step = mk_step("eigh")
+                    continue
+                diverged = True
                 break
             hits = np.nonzero(kkt < stop_tol)[0]
             if hits.size:
@@ -368,8 +444,13 @@ class SDPSolver:
         if diverged:
             message = (
                 "Solver ABORTED: non-finite residuals at iteration "
-                f"{it_done} (errRp/errRd/relgap contain NaN or Inf). "
-                "The iteration diverged -- try a smaller sig, a more "
+                f"{it_done} (errRp/errRd/relgap contain NaN or Inf)"
+                + (
+                    f" after {recoveries} auto-recovery restart(s)"
+                    if recoveries
+                    else ""
+                )
+                + ". The iteration diverged -- try a smaller sig, a more "
                 "accurate normal_solver, or dtype='float64'."
             )
         elif converged:
@@ -415,6 +496,7 @@ class SDPSolver:
             sig=float(state.sig),
             total_time=total_time,
             info=info,
+            recoveries=recoveries,
         )
         log.footer(result)
         return result

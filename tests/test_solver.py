@@ -150,3 +150,39 @@ def test_profile_trace_capture(tmp_path):
         str(tmp_path / "**" / "*.xplane.pb"), recursive=True
     )
     assert traces, "no profiler trace written"
+
+
+def test_divergence_auto_recovery_broken_factor():
+    """Inject a corrupted Cholesky factor into the normal solver; the driver
+    must detect the non-finite chunk, restart from a finite iterate with
+    escalated numerics (ultimately the factor-free CG solver), and still
+    converge. Also check recovery can be disabled."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    blk = [("s", 6), ("s", 4), ("s", 6)]
+    prob, *_, pobj = random_certified_sdp(blk, con_num=12, seed=3)
+    cfg = SolverConfig(
+        verbose=False, check_every=25, normal_solver="dense", switch_admm=10**9
+    )
+    solver = SDPSolver(prob, cfg)
+    good_neq = solver.params.neq
+    # Corrupt the factor: an all-zero triangle makes every P^{-1} r
+    # application divide by zero, so the first chunk goes non-finite.
+    bad_l = jnp.zeros_like(good_neq.chol_l)
+    solver.params = dataclasses.replace(
+        solver.params, neq=dataclasses.replace(good_neq, chol_l=bad_l)
+    )
+    res = solver.solve(max_iter=8000, stop_tol=1e-6)
+    assert res.recoveries >= 1
+    assert res.converged and not res.diverged
+    assert abs(res.pobj - pobj) / (1 + abs(pobj)) < 1e-4
+
+    # With recovery disabled the same corruption must abort cleanly.
+    solver2 = SDPSolver(prob, cfg.replace(divergence_recovery=False))
+    solver2.params = dataclasses.replace(
+        solver2.params, neq=dataclasses.replace(solver2.params.neq, chol_l=bad_l)
+    )
+    res2 = solver2.solve(max_iter=200, stop_tol=1e-6)
+    assert res2.diverged and res2.recoveries == 0
