@@ -65,6 +65,64 @@ BASELINES = {"admm": 61.35, "sgs": 33.0}  # it/s (0.0163 / 0.0303 s/it)
 DEFAULT_PROBLEM = "/root/reference/examples/SPOT/data/TXT/PushT_N=10_MOMENT"
 
 
+def on_chip_diagnostics(solver) -> dict:
+    """Numerics canaries executed on the live backend before timing.
+
+    A platform-robust bench must verify, on the chip, the assumptions the
+    solver rests on (round-2 lesson: the identical config converged on CPU
+    and diverged on TPU, and the bench captured nothing that localized it):
+
+    - matmul_hi / matmul_default: relative error of an f32 GEMM vs the f64
+      host result, with explicit HIGHEST precision and ambient default.
+      HIGHEST must be ~1e-7 (6-pass bf16); default ~1e-3 reveals bf16.
+    - f64_emul: error of an f64 dot needing > 24-bit mantissa -- verifies
+      f64 emulation works (the refinement path accumulates in f64).
+    - neq_resid: relative residual of the normal solve on a consistent
+      probe rhs = (AA^T) v -- verifies the factor + refinement on-device
+      (reference bar: CHOLMOD's backward-stable f64 host solve,
+      include/cuadmm/cholesky_cpu.h:62-155).
+    """
+    import jax.numpy as jnp
+
+    diag = {}
+    rng = np.random.default_rng(0)
+    a64 = rng.standard_normal((256, 256))
+    a = jnp.asarray(a64, jnp.float32)
+    ref = a64 @ a64.T
+    nrm = np.linalg.norm(ref)
+    hi = jax.jit(
+        lambda x: jax.lax.dot_general(
+            x, x, (((1,), (1,)), ((), ())), precision="highest"
+        )
+    )(a)
+    lo = jax.jit(lambda x: jax.lax.dot_general(x, x, (((1,), (1,)), ((), ()))))(a)
+    diag["matmul_hi"] = float(np.linalg.norm(np.asarray(hi, np.float64) - ref) / nrm)
+    diag["matmul_default"] = float(
+        np.linalg.norm(np.asarray(lo, np.float64) - ref) / nrm
+    )
+    if jax.config.jax_enable_x64:
+        v = jnp.asarray([1.0, 1e-14, -1.0], jnp.float64)
+        diag["f64_emul"] = float(
+            abs(float(jax.jit(jnp.sum)(v)) - 1e-14) / 1e-14
+        )
+
+    neq = solver.params.neq
+    diag["neq_mode"] = neq.mode
+    diag["neq_eps_used"] = neq.eps_used
+    if neq.sparse_a is not None:
+        from cuadmm_tpu.ops.sparse import spmv_a, spmv_at
+
+        v = jnp.asarray(
+            rng.standard_normal(solver.problem.con_num), solver.dtype
+        )
+        rhs = spmv_a(neq.sparse_a, spmv_at(neq.sparse_a, v.astype(jnp.float64))).astype(
+            solver.dtype
+        )
+        y = jax.jit(lambda r: neq.solve(r))(rhs)
+        diag["neq_resid"] = float(neq.residual_norm(rhs, y))
+    return diag
+
+
 def main() -> None:
     dtype = os.environ.get("BENCH_DTYPE", "float64")
     iters = int(os.environ.get("BENCH_ITERS", "600"))
@@ -83,6 +141,7 @@ def main() -> None:
         stop_tol=0.0,
     )
     solver = SDPSolver(prob, cfg)
+    diag = on_chip_diagnostics(solver)
 
     # Warmup: compile + a few chunks.
     t0 = time.perf_counter()
@@ -108,6 +167,11 @@ def main() -> None:
     )
     ok = finite and decreased
 
+    # Per-chunk errRp trace (check_every cadence): enough to see where a
+    # divergence starts without flooding the one-line contract.
+    stride = max(1, len(err_hist) // 12)
+    trace = [round(float(v), 5) for v in err_hist[::stride][:12]]
+
     print(
         json.dumps(
             {
@@ -122,8 +186,11 @@ def main() -> None:
                 "errRp": float(res.errRp),
                 "errRd": float(res.errRd),
                 "errRp_first": float(err_hist[0]) if len(err_hist) else None,
+                "errRp_trace": trace,
                 "finite": finite,
                 "errRp_decreased": decreased,
+                "recoveries": res.recoveries + warm_res.recoveries,
+                "diag": diag,
             }
         )
     )

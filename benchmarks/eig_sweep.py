@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -44,15 +45,36 @@ def eigh_project(mats: jax.Array) -> jax.Array:
     )
 
 
+def jacobi_project(mats: jax.Array) -> jax.Array:
+    """The Pallas/jnp batched cyclic-Jacobi path (ops/jacobi.py)."""
+    import os, sys as _s
+
+    _s.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from cuadmm_tpu.ops.jacobi import jacobi_eigh
+
+    w, v = jacobi_eigh(mats)
+    return jnp.einsum(
+        "bij,bj,bkj->bik", v, jnp.maximum(w, 0), v, preferred_element_type=v.dtype
+    )
+
+
 def timeit(f, x, k: int = 16) -> float:
-    """Average seconds per op; loops inside jit to amortize dispatch."""
+    """Average seconds per op; loops inside jit to amortize dispatch.
+
+    Every pass projects a *fresh* symmetric input (x scaled by a
+    loop-dependent factor -- scaling preserves the spectrum shape), not the
+    previous output: feeding near-PSD results back in would systematically
+    distort eigh's convergence behaviour and flatter whichever method ran
+    first.
+    """
 
     @jax.jit
     def g(x):
         def body(i, acc):
-            return f(acc) * 0.5 + acc * 0.5
+            fresh = x * (1.0 + 1e-6 * i.astype(x.dtype))
+            return acc + f(fresh).sum()
 
-        return jax.lax.fori_loop(0, k, body, x).sum()
+        return jax.lax.fori_loop(0, k, body, jnp.zeros((), x.dtype))
 
     float(g(x))  # compile
     t0 = time.perf_counter()
@@ -60,21 +82,36 @@ def timeit(f, x, k: int = 16) -> float:
     return (time.perf_counter() - t0) / k
 
 
+def default_out(dtype_name: str) -> str:
+    """The exact path ops/dispatch.py loads for this backend/dtype."""
+    backend = jax.default_backend()
+    backend = "tpu" if backend in ("tpu", "axon") else backend
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(
+        root, "cuadmm_tpu", "data", f"eig_sweep_{backend}_{dtype_name}.jsonl"
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="benchmarks/eig_sweep.jsonl")
+    ap.add_argument("--out", default=None,
+                    help="default: the dispatch table path for this backend/dtype")
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--sizes", default="2,4,8,16,32,64,128,256")
     ap.add_argument("--batches", default="1,8,64,512,4096")
     ap.add_argument("--max-elems", type=int, default=int(3e7))
+    ap.add_argument("--skip-jacobi", action="store_true")
     args = ap.parse_args()
 
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.dtype(args.dtype)
     key = jax.random.PRNGKey(0)
+    out = args.out or default_out(args.dtype)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
 
-    rows = []
+    open(out, "w").close()
+    n_rows = 0
     for n in map(int, args.sizes.split(",")):
         for b in map(int, args.batches.split(",")):
             if b * n * n > args.max_elems:
@@ -84,13 +121,13 @@ def main() -> None:
             row = {"n": n, "batch": b, "dtype": args.dtype}
             row["eigh_ms"] = timeit(eigh_project, m) * 1e3
             row["poly_ms"] = timeit(poly_project, m) * 1e3
-            rows.append(row)
+            if not args.skip_jacobi and n <= 64:
+                row["jacobi_ms"] = timeit(jacobi_project, m) * 1e3
+            with open(out, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            n_rows += 1
             print(json.dumps(row), flush=True)
-
-    with open(args.out, "w") as f:
-        for row in rows:
-            f.write(json.dumps(row) + "\n")
-    print(f"wrote {len(rows)} rows to {args.out}", file=sys.stderr)
+    print(f"wrote {n_rows} rows to {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

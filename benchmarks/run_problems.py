@@ -102,52 +102,55 @@ def main() -> None:
 
     from cuadmm_tpu import SDPSolver, SolverConfig
 
-    rows = []
+    backend = jax.default_backend()
+    # Incremental append: a crash or timeout on one problem must not lose
+    # the completed rows (the reference ships per-problem logs,
+    # examples/benchmarks/plato/logs/*.log -- same idea).
+    open(args.out, "w").close()
     for name in args.problems.split(","):
         kind, path, ref = PROBLEMS[name]
-        prob = load(kind, path)
-        sig = args.sig if args.sig is not None else (200.0 if "MOMENT" in path else 1.0)
-        cfg = SolverConfig(
-            dtype=args.dtype,
-            stop_tol=args.stop_tol,
-            verbose=False,
-            check_every=args.check_every,
-            sig=sig,
-        )
-        t0 = time.perf_counter()
-        solver = SDPSolver(prob, cfg)
-        init_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        res = solver.solve(max_iter=args.max_iter)
-        solve_s = time.perf_counter() - t0
-        row = {
-            "problem": name,
-            "dtype": args.dtype,
-            "converged": res.converged,
-            "iterations": res.iterations,
-            "solve_s": round(solve_s, 2),
-            "init_s": round(init_s, 2),
-            "s_per_iter": round(solve_s / max(res.iterations, 1), 5),
-            "pobj": res.pobj,
-            "dobj": res.dobj,
-            "errRp": res.errRp,
-            "errRd": res.errRd,
-            "relgap": res.relgap,
-            "neq_mode": solver.params.neq.mode,
-            **ref,
-        }
-        if "ref_total_s" in ref:
-            row["speedup_total"] = round(ref["ref_total_s"] / max(solve_s, 1e-9), 2)
-        if "ref_pobj" in ref:
-            row["obj_match"] = bool(
-                abs(res.pobj - ref["ref_pobj"]) / (1.0 + abs(ref["ref_pobj"])) < 5e-3
+        row = {"problem": name, "dtype": args.dtype, "backend": backend, **ref}
+        try:
+            prob = load(kind, path)
+            sig = args.sig if args.sig is not None else (200.0 if "MOMENT" in path else 1.0)
+            cfg = SolverConfig(
+                dtype=args.dtype,
+                stop_tol=args.stop_tol,
+                verbose=False,
+                check_every=args.check_every,
+                sig=sig,
             )
-        rows.append(row)
-        print(json.dumps(row), flush=True)
-
-    with open(args.out, "w") as f:
-        for row in rows:
+            t0 = time.perf_counter()
+            solver = SDPSolver(prob, cfg)
+            init_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            res = solver.solve(max_iter=args.max_iter)
+            solve_s = time.perf_counter() - t0
+            row.update(
+                converged=res.converged,
+                iterations=res.iterations,
+                solve_s=round(solve_s, 2),
+                init_s=round(init_s, 2),
+                s_per_iter=round(solve_s / max(res.iterations, 1), 5),
+                pobj=res.pobj,
+                dobj=res.dobj,
+                errRp=res.errRp,
+                errRd=res.errRd,
+                relgap=res.relgap,
+                neq_mode=solver.params.neq.mode,
+                recoveries=res.recoveries,
+            )
+            if "ref_total_s" in ref:
+                row["speedup_total"] = round(ref["ref_total_s"] / max(solve_s, 1e-9), 2)
+            if "ref_pobj" in ref:
+                row["obj_match"] = bool(
+                    abs(res.pobj - ref["ref_pobj"]) / (1.0 + abs(ref["ref_pobj"])) < 5e-3
+                )
+        except Exception as e:  # record the failure, keep going
+            row.update(error=f"{type(e).__name__}: {e}")
+        with open(args.out, "a") as f:
             f.write(json.dumps(row) + "\n")
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -69,8 +69,11 @@ class SolverConfig:
     - ``precond_eps``: relative diagonal regularization of the f32
       preconditioner factor (escalates x10 on Cholesky failure).
     - ``precond_applies``: refinement sweeps per solve. Each sweep costs
-      one dense matvec + two sparse matvecs and contracts the residual by
-      ~precond_eps; 2 sweeps reach ~1e-8 relative residual on PushT.
+      one factor application + two sparse matvecs and contracts the
+      residual by ~precond_eps. 0 (default) calibrates the count on the
+      target device at init against a dtype-aware residual target -- this
+      doubles as an on-chip factor sanity check (init fails loudly if the
+      factor cannot reach 1e-2 relative residual).
     - ``cg_tol``/``cg_max_iter``: CG stopping parameters. cg_tol <= 0
       selects a dtype-aware default (64*eps -- an absolute 1e-12 is
       unreachable in f32 and burns cg_max_iter matvecs every solve).
@@ -100,7 +103,9 @@ class SolverConfig:
     pack_to: Optional[int] = None
     # PSD projection backend: "eigh" (batched eigendecomposition),
     # "poly" (matmul-only composite polynomial sign filter,
-    # ops/polyfilter.py), or "auto" (poly on TPU, eigh elsewhere).
+    # ops/polyfilter.py), "jacobi" (batched cyclic Jacobi, ops/jacobi.py),
+    # or "auto" (calibrated per-bucket dispatch from the committed sweep
+    # tables when available, else poly on TPU / eigh elsewhere).
     # eig_rank forces eigh.
     projection: str = "auto"
     normal_solver: str = "auto"
@@ -110,7 +115,7 @@ class SolverConfig:
     cg_block_jacobi: int = 2048  # block width of the CG preconditioner (0 = Jacobi)
     aat_eps: float = 1e-15  # diagonal regularization of AA^T (reference: src/solver.cu:94)
     precond_eps: float = 1e-4  # f32 preconditioner regularization (relative)
-    precond_applies: int = 2  # refinement sweeps per normal-equation solve
+    precond_applies: int = 0  # refinement sweeps per solve; 0 = calibrate on device
 
     # Low-rank projection: keep only the top-k eigenvalues per block
     # (working version of the reference's get_eig_rank_mask experiment).
@@ -142,7 +147,7 @@ class SolverConfig:
             raise ValueError(f"bucket_rounding must be pow2 or exact, got {self.bucket_rounding}")
         if self.normal_solver not in ("auto", "precond", "dense", "inv", "cg", "host"):
             raise ValueError(f"unknown normal_solver {self.normal_solver}")
-        if self.projection not in ("auto", "eigh", "poly"):
+        if self.projection not in ("auto", "eigh", "poly", "jacobi"):
             raise ValueError(f"unknown projection {self.projection}")
 
     def replace(self, **kw) -> "SolverConfig":

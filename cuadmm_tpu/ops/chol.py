@@ -14,15 +14,22 @@ range(A) (rhs = Rp/sigma - A(S - C)), i.e. the systems are *consistent*.
 Everything here is device-resident:
 
 - ``precond`` (default on accelerators): one-time device Cholesky of the
-  *regularized* P = AA^T + eps*I in float32, kept as the triangular
-  factor; each application is a backward-stable cho_solve (measured
-  0.63 ms at con_num=17150 on TPU v5e -- XLA's blocked TRSM is fast,
-  and unlike an explicit inverse its residual does not scale with
-  cond(P)). Each solve runs a fixed number of refinement sweeps
+  *regularized* P = AA^T + eps*I in float32. On accelerators the
+  triangular factor is then explicitly inverted (error ~ cond(L)*eps32 =
+  sqrt(cond(P))*eps32 -- safe for a *preconditioner*, unlike a full
+  inverse of P whose error scales with cond(P)) so each application is
+  two bandwidth-bound MXU matvecs instead of XLA's serialized blocked
+  TRSM (measured 3 ms vs 7.9 ms at con_num=17150 on TPU v5e); on CPU the
+  application stays a backward-stable cho_solve. Each solve runs
+  refinement sweeps
       y <- y + P^{-1} (rhs - AA^T y)
-  with the residual accumulated in float64 through the exact sparse A
-  (two tiny spmv's). For consistent rhs each sweep contracts the
-  residual by ~eps regardless of the near-null spectrum (measured on
+  with the residual accumulated through the exact sparse A (two tiny
+  spmv's) in f64 on CPU / f32 on TPU (f64 there is software-emulated at
+  2x the whole iteration's cost; f32 floors the relative residual at
+  ~1e-7, matching f32 state precision). The sweep count is calibrated on
+  the target device at init (``_calibrate_applies``), which doubles as an
+  on-chip factor sanity probe. For consistent rhs each sweep contracts
+  the residual by ~eps regardless of the near-null spectrum (measured on
   the real PushT AA^T: eps=1e-4, two applications -> relative residual
   1.8e-8; the reference bar is CHOLMOD's backward-stable ~1e-15).
 - ``dense``: identical solve path with an f64 factor (CPU parity path).
@@ -72,24 +79,52 @@ class NormalEqSolver:
     # host: callable rhs(np) -> y(np)
     host_solve: Optional[Callable] = None
     eps_used: float = 0.0
+    # Accelerator fast path: explicit inverse of the *triangular* factor,
+    # applied as two MXU matvecs (see _apply_factor). None on CPU.
+    inv_l: Optional[jax.Array] = None
+    # Refinement accumulation dtype. f64 on CPU (native, the reference's
+    # CHOLMOD bar); f32 on TPU where f64 is software-emulated (measured
+    # 22 ms per refinement spmv pair vs 11 ms f32 on PushT N=10 -- the f64
+    # path alone was 2/3 of the whole iteration). f32 floors the relative
+    # residual at ~1e-7, matching f32 state precision.
+    refine_dtype: str = "float64"
 
     def _apply_factor(self, r: jax.Array) -> jax.Array:
-        """Backward-stable P^{-1} r via two triangular solves at factor
-        precision. (An explicit inverse matvec is NOT backward stable: its
-        residual scales as cond(P)*eps32 ~ 1 on moment-SDP conditioning --
-        the round-1 failure mode.)"""
+        """Approximate P^{-1} r.
+
+        CPU: backward-stable cho_solve (two TRSMs at factor precision).
+        Accelerator: r -> inv(L)^T (inv(L) r), two dense matvecs. XLA's
+        blocked TRSM serializes (measured 7.9 ms at con_num=17150 vs 3 ms
+        bandwidth-bound matvecs). Inverting the *triangular* factor is
+        stable enough for a preconditioner: error ~ cond(L)*eps32 =
+        sqrt(cond(P))*eps32 ~ 3e-4 at cond(P)~1e7, and the refinement loop
+        in ``solve`` contracts against the exact AA^T regardless. (A full
+        explicit inverse of P is NOT: its error scales as cond(P)*eps32
+        ~ 1 -- the round-1 failure mode.)"""
+        if self.inv_l is not None:
+            hi = jax.lax.Precision.HIGHEST
+            t = jax.lax.dot_general(
+                self.inv_l,
+                r.astype(self.inv_l.dtype),
+                (((1,), (0,)), ((), ())),
+                precision=hi,
+            )
+            y = jax.lax.dot_general(
+                self.inv_l, t, (((0,), (0,)), ((), ())), precision=hi
+            )
+            return y.astype(r.dtype)
         return jax.scipy.linalg.cho_solve(
             (self.chol_l, True), r.astype(self.chol_l.dtype)
         ).astype(r.dtype)
 
     def solve(self, rhs: jax.Array, warm: Optional[jax.Array] = None) -> jax.Array:
         if self.mode in ("precond", "dense"):
-            hp = _hp_dtype()
+            hp = jnp.dtype(self.refine_dtype)
             rhs_hp = rhs.astype(hp)
             y = jnp.zeros_like(rhs_hp) if warm is None else warm.astype(hp)
             # Refinement against the exact AA^T: each sweep costs one
-            # cho_solve plus two sparse matvecs and contracts the residual
-            # by ~eps_used (consistent rhs).
+            # factor application plus two sparse matvecs and contracts the
+            # residual by ~eps_used (consistent rhs).
             for _ in range(self.applies):
                 r = rhs_hp - _aat_matvec(self.sparse_a, y)
                 y = y + self._apply_factor(r).astype(hp)
@@ -126,8 +161,16 @@ class NormalEqSolver:
 
 jax.tree_util.register_dataclass(
     NormalEqSolver,
-    data_fields=["chol_l", "inv_diag", "bj_inv", "sparse_a"],
-    meta_fields=["mode", "cg_tol", "cg_max_iter", "applies", "host_solve", "eps_used"],
+    data_fields=["chol_l", "inv_diag", "bj_inv", "sparse_a", "inv_l"],
+    meta_fields=[
+        "mode",
+        "cg_tol",
+        "cg_max_iter",
+        "applies",
+        "host_solve",
+        "eps_used",
+        "refine_dtype",
+    ],
 )
 
 
@@ -262,6 +305,106 @@ def _device_factorize(
             raise RuntimeError("AA^T Cholesky failed even with jitter 1e-1")
 
 
+def _tri_inv(l: jax.Array, block: int = 2048) -> jax.Array:
+    """Explicit inverse of a lower-triangular Cholesky factor, HIGHEST
+    precision. Stable enough for a refined preconditioner: error ~
+    cond(L) * eps = sqrt(cond(P)) * eps.
+
+    Blocked forward substitution: inv(L)[i,j] = -Dii (L[i,j:i] @ M[j:i,j]),
+    diagonal blocks via small TRSMs. XLA's own solve_triangular against a
+    full identity rhs materializes ~60x n^2 of temporaries at n=17150
+    (observed 75 GB on a 16 GB chip); this version's working set is two
+    n^2 buffers plus one ``block``-wide panel."""
+    n = l.shape[0]
+    if n <= 2 * block:
+
+        @jax.jit
+        def inv_small(l):
+            with jax.default_matmul_precision("highest"):
+                eye = jnp.eye(n, dtype=l.dtype)
+                return jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+
+        return inv_small(l)
+
+    k = -(-n // block)
+    npad = k * block
+    hi = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def inv(l):
+        lp = jnp.zeros((npad, npad), l.dtype).at[:n, :n].set(l)
+        pad_idx = jnp.arange(n, npad)
+        lp = lp.at[pad_idx, pad_idx].set(1.0)  # keep padding invertible
+        eye_b = jnp.eye(block, dtype=l.dtype)
+        sl = lambda i, j: jax.lax.dynamic_slice(
+            lp, (i * block, j * block), (block, block)
+        )
+        with jax.default_matmul_precision("highest"):
+            D = [
+                jax.scipy.linalg.solve_triangular(sl(i, i), eye_b, lower=True)
+                for i in range(k)
+            ]
+        out = jnp.zeros((npad, npad), l.dtype)
+        for j in range(k):
+            cols = {j: D[j]}
+            out = jax.lax.dynamic_update_slice(out, D[j], (j * block, j * block))
+            for i in range(j + 1, k):
+                acc = jnp.zeros((block, block), l.dtype)
+                for t in range(j, i):
+                    acc = acc + jax.lax.dot_general(
+                        sl(i, t), cols[t], (((1,), (0,)), ((), ())), precision=hi
+                    )
+                cols[i] = -jax.lax.dot_general(
+                    D[i], acc, (((1,), (0,)), ((), ())), precision=hi
+                )
+                out = jax.lax.dynamic_update_slice(
+                    out, cols[i], (i * block, j * block)
+                )
+        return out[:n, :n]
+
+    return inv(l)
+
+
+def _calibrate_applies(neq: NormalEqSolver, con_num: int, max_applies: int = 6):
+    """Pick the refinement sweep count **on the device that will run it**.
+
+    Runs the real solve path on a consistent probe rhs = (AA^T) v and takes
+    the smallest sweep count whose measured relative residual beats a
+    dtype-aware target. This is the on-chip factor sanity check the
+    round-2 bench lacked: a corrupted or precision-starved factor shows up
+    here, at init, not as a NaN 60 s into the solve. Raises if even
+    ``max_applies`` sweeps cannot reach 1e-2 (the factor is unusable --
+    reference bar: CHOLMOD's exact f64 host solves, cholesky_cpu.h:62-155).
+    """
+    hp = jnp.dtype(neq.refine_dtype)
+    target = 1e-10 if hp == jnp.float64 else 1e-5
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal(con_num), hp)
+    rhs = jax.jit(lambda v: _aat_matvec(neq.sparse_a, v))(v)
+
+    @jax.jit
+    def sweep(y, rhs):
+        r = rhs - _aat_matvec(neq.sparse_a, y)
+        y = y + neq._apply_factor(r).astype(hp)
+        res = jnp.linalg.norm(rhs - _aat_matvec(neq.sparse_a, y)) / jnp.linalg.norm(rhs)
+        return y, res
+
+    y = jnp.zeros_like(rhs)
+    res = np.inf
+    for k in range(1, max_applies + 1):
+        y, res = sweep(y, rhs)
+        if float(res) < target:
+            break
+    if not np.isfinite(float(res)) or float(res) > 1e-2:
+        raise RuntimeError(
+            f"normal-equation factor failed the on-device probe: relative "
+            f"residual {float(res):.3e} after {k} refinement sweeps "
+            f"(eps_used={neq.eps_used:g}). The factorization is unusable on "
+            "this backend; try normal_solver='cg' or a larger precond_eps."
+        )
+    return dataclasses.replace(neq, applies=k)
+
+
 def _block_jacobi_inv(
     aat: sp.csr_matrix, con_num: int, block: int, eps: float, dtype
 ) -> jax.Array:
@@ -348,17 +491,31 @@ def build_normal_solver(
         l, eps_used = _device_factorize(
             at_svec_idx, at_con_idx, vals, con_num, vec_len, fac_dtype, eps0
         )
-        return NormalEqSolver(
+        inv_l = None
+        refine = "float64" if jax.config.jax_enable_x64 else "float32"
+        refine_sa = sa_hp
+        if on_accel and fac_dtype == jnp.float32:
+            inv_l = _tri_inv(l)
+            l = None  # the factor is no longer needed; free ~n^2 HBM
+            if jnp.dtype(dtype) == jnp.float32:
+                refine = "float32"
+                refine_sa = sparse_a
+        neq = NormalEqSolver(
             mode=mode,
             chol_l=l,
             inv_diag=None,
             bj_inv=None,
-            sparse_a=sa_hp,
+            sparse_a=refine_sa,
             cg_tol=cg_tol,
             cg_max_iter=cg_max_iter,
-            applies=applies,
+            applies=max(applies, 1),
             eps_used=eps_used,
+            inv_l=inv_l,
+            refine_dtype=refine,
         )
+        if applies <= 0:
+            neq = _calibrate_applies(neq, con_num)
+        return neq
 
     if mode == "cg":
         aat = build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)

@@ -48,10 +48,14 @@ def _nearest(rows: List[dict], n: int, batch: int) -> dict:
     return min(rows, key=d)
 
 
+METHODS = ("eigh", "poly", "jacobi")
+
+
 def choose_methods(
     buckets: List[Tuple[int, int]], backend: str, dtype_name: str
 ) -> Optional[Dict[int, str]]:
-    """Per-bucket method ("eigh" | "poly") from the committed sweep.
+    """Per-bucket method ("eigh" | "poly" | "jacobi") from the committed
+    sweep.
 
     ``buckets`` is [(n, count), ...] in bucket order (packed super-matrix
     size and batch count as they will actually be dispatched). Returns None
@@ -66,5 +70,6 @@ def choose_methods(
             out[i] = "clamp"
             continue
         r = _nearest(rows, n, count)
-        out[i] = "poly" if r.get("poly_ms", r.get("ns24_ms", 1e9)) < r["eigh_ms"] else "eigh"
+        timed = {m: r[f"{m}_ms"] for m in METHODS if f"{m}_ms" in r}
+        out[i] = min(timed, key=timed.get) if timed else "eigh"
     return out

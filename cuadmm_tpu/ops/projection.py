@@ -93,7 +93,16 @@ def psd_project(
 
             proj = psd_project_poly(bt)
         else:
-            fn = (eigh_by_bucket or {}).get(i, xla_eigh)
+            fn = (eigh_by_bucket or {}).get(i)
+            if fn is None:
+                if meth == "jacobi":
+                    # Batched cyclic Jacobi (ops/jacobi.py) -- the analog of
+                    # cuSOLVER syevjBatched (cusolver.h:104-171).
+                    from cuadmm_tpu.ops.jacobi import jacobi_eigh
+
+                    fn = jacobi_eigh
+                else:
+                    fn = xla_eigh
             w, v = fn(bt)
             proj = reconstruct_clamped(w, v, eig_rank)
         projected.append(shard_blocks(proj, mesh))
@@ -154,7 +163,14 @@ def psd_project_pool(
 
             proj = psd_project_poly(bt)
         else:
-            fn = (eigh_by_bucket or {}).get(i, xla_eigh)
+            fn = (eigh_by_bucket or {}).get(i)
+            if fn is None:
+                if meth == "jacobi":
+                    from cuadmm_tpu.ops.jacobi import jacobi_eigh
+
+                    fn = jacobi_eigh
+                else:
+                    fn = xla_eigh
             w, v = fn(bt)
             proj = reconstruct_clamped(w, v, eig_rank)
         if packed:

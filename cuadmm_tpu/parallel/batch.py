@@ -120,15 +120,20 @@ class BatchedSDPSolver:
 
     # ------------------------------------------------------------------
     def _initial_states(self, sig: float) -> SolverState:
-        states = []
-        for (X_s, y_s, S_s), sc in zip(self._init_list, self._scalings):
-            base = self._base
-            base.scaling = sc  # _initial_state reads scaling + b/C caches
-            b_save, C_save = base._b_scaled, base._C_scaled
-            base._b_scaled = self._b_stack[len(states)]
-            base._C_scaled = self._C_stack[len(states)]
-            states.append(base._initial_state(X_s, y_s, S_s, sig))
-            base._b_scaled, base._C_scaled = b_save, C_save
+        states = [
+            self._base._initial_state(
+                X_s,
+                y_s,
+                S_s,
+                sig,
+                scaling=sc,
+                b_scaled=self._b_stack[i],
+                C_scaled=self._C_stack[i],
+            )
+            for i, ((X_s, y_s, S_s), sc) in enumerate(
+                zip(self._init_list, self._scalings)
+            )
+        ]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         if self.mesh is not None and self.mesh.size > 1:
             sharding = NamedSharding(self.mesh, P(BLOCK_AXIS))
@@ -152,11 +157,32 @@ class BatchedSDPSolver:
         )
         batched_step = jax.vmap(step, in_axes=(0, self._in_axes_params))
 
+        mesh = self.mesh
+        if mesh is not None and mesh.size > 1:
+            # Pin the instance axis to the mesh *inside* the compiled chunk
+            # (not just on the inputs): relying on input-sharding
+            # propagation alone leaves XLA free to resharde intermediates.
+            def constrain(s):
+                def pin(x):
+                    if getattr(x, "ndim", 0) < 1:
+                        return x
+                    spec = P(*((BLOCK_AXIS,) + (None,) * (x.ndim - 1)))
+                    return jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, spec)
+                    )
+
+                return jax.tree.map(pin, s)
+
+        else:
+            constrain = lambda s: s
+
         @jax.jit
         def run_chunk(state, params):
-            return jax.lax.scan(
-                lambda s, _: batched_step(s, params), state, None, length=chunk
-            )
+            def body(s, _):
+                s2, info = batched_step(s, params)
+                return constrain(s2), info
+
+            return jax.lax.scan(body, constrain(state), None, length=chunk)
 
         self._runners[key] = run_chunk
         return run_chunk

@@ -114,6 +114,13 @@ class SDPSolver:
                 self._projection = per_bucket
             else:
                 self._projection = "poly" if on_tpu else "eigh"
+                if cfg.verbose:
+                    print(
+                        f"projection='auto': no calibration table for "
+                        f"backend={backend!r} dtype={self.dtype.name!r} "
+                        f"(run benchmarks/eig_sweep.py to generate one); "
+                        f"using uncalibrated default {self._projection!r}"
+                    )
         if self.structure.vec_len != prob.vec_len:
             raise ValueError("block structure does not match problem vec_len")
         vec_len, con_num = prob.vec_len, prob.con_num
@@ -202,11 +209,16 @@ class SDPSolver:
         self.init_time = time.perf_counter() - t0
 
     # ------------------------------------------------------------------
-    def _initial_state(self, X_s, y_s, S_s, sig: float) -> SolverState:
+    def _initial_state(
+        self, X_s, y_s, S_s, sig: float, scaling=None, b_scaled=None, C_scaled=None
+    ) -> SolverState:
         """Initial residuals in scaled space (reference: src/solver.cu:194-228
-        and the re-entrant path :385-409)."""
-        sc = self.scaling
-        b, C = self._b_scaled, self._C_scaled
+        and the re-entrant path :385-409). The optional overrides let the
+        batched solver evaluate per-instance (scaling, b, C) without
+        mutating this solver's own caches."""
+        sc = self.scaling if scaling is None else scaling
+        b = self._b_scaled if b_scaled is None else b_scaled
+        C = self._C_scaled if C_scaled is None else C_scaled
         A = self._A_host
         Rp = b - A @ X_s
         SmC = S_s - C

@@ -13,11 +13,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+jax.config.update("jax_enable_x64", True)  # default SolverConfig dtype is float64
+
 import numpy as np
 
 from cuadmm_tpu import SDPSolver, SolverConfig
 from cuadmm_tpu.models.maxcut import maxcut_sdp, random_graph, round_solution
-from cuadmm_tpu.models.chordal import chordal_maxcut_sdp
+from cuadmm_tpu.models.chordal import maxcut_chordal
 
 
 def main() -> None:
@@ -31,7 +35,7 @@ def main() -> None:
     print(f"dense:   {res.message.strip()} pobj={res.pobj:.4f} cut={cut:.4f}")
 
     # Chordal decomposition: clique blocks + overlap constraints.
-    cprob, meta = chordal_maxcut_sdp(W)
+    cprob, meta = maxcut_chordal(W)
     cres = SDPSolver(cprob, cfg).solve(max_iter=20000)
     sizes = [n for _, n in cprob.blk]
     print(f"chordal: {cres.message.strip()} pobj={cres.pobj:.4f} "

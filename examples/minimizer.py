@@ -14,6 +14,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+jax.config.update("jax_enable_x64", True)  # the shim solves in float64
+
 import numpy as np
 
 from cuadmm_tpu.compat import cuadmm

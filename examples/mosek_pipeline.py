@@ -14,14 +14,22 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+jax.config.update("jax_enable_x64", True)  # default SolverConfig dtype is float64
+
 from cuadmm_tpu import SDPSolver, SolverConfig
 from cuadmm_tpu.io.mosek import load_mosek_mat
 
-DEFAULT = "/root/reference/examples/SPOT/data/MOSEK/PushBot_N=1_MOMENT.mat"
+DEFAULT = "/root/reference/examples/SPOT/data/MOSEK/PlanarHand_N=1_MOMENT.mat"
 
 
 def main() -> None:
     path = sys.argv[1] if len(sys.argv) > 1 else DEFAULT
+    if not os.path.exists(path):
+        d = os.path.dirname(path)
+        avail = sorted(f for f in os.listdir(d)) if os.path.isdir(d) else []
+        sys.exit(f"{path} not found; available .mat files in {d}: {avail}")
     prob = load_mosek_mat(path)
     print(f"{os.path.basename(path)}: {len(prob.blk)} blocks, "
           f"{prob.con_num} constraints, vec_len {prob.vec_len}")

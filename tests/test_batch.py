@@ -65,6 +65,14 @@ def test_batched_sharded_over_mesh():
     for res, obj in zip(results, objs):
         assert res.converged
         assert abs(res.pobj - obj) / (1 + abs(obj)) < 1e-4
+    # Per-instance parity against independent single solves: the sharded
+    # lockstep batch must reproduce the unsharded single-solver iterates.
+    from cuadmm_tpu.solver.driver import SDPSolver
+
+    for i in (0, 5):
+        single = SDPSolver(probs[i], cfg).solve(max_iter=6000, stop_tol=1e-6)
+        assert abs(results[i].pobj - single.pobj) < 1e-6 * (1 + abs(single.pobj))
+        np.testing.assert_allclose(results[i].X, single.X, atol=5e-5)
 
 
 def test_batch_rejects_mismatched_pattern():

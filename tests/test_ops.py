@@ -278,3 +278,21 @@ def test_precond_real_pusht_aat_residual():
     assert np.all(np.isfinite(np.asarray(y)))
     res = float(neq.residual_norm(jnp.asarray(rhs, jnp.float32), y))
     assert res < 1e-5, f"PushT normal-solve relative residual {res:.2e} >= 1e-5"
+
+
+def test_blocked_tri_inv():
+    """The accelerator preconditioner path inverts the triangular factor
+    explicitly (ops/chol.py:_tri_inv); check the blocked algorithm against
+    the identity at sizes that exercise multi-block recursion and padding."""
+    import jax.numpy as jnp
+
+    from cuadmm_tpu.ops.chol import _tri_inv
+
+    rng = np.random.default_rng(5)
+    for n, block in [(500, 64), (300, 128), (64, 2048)]:
+        a = rng.standard_normal((n, n))
+        p = a @ a.T + n * np.eye(n)
+        l = np.linalg.cholesky(p)
+        li = np.asarray(_tri_inv(jnp.asarray(l, jnp.float32), block=block), np.float64)
+        err = np.linalg.norm(li @ l - np.eye(n)) / np.sqrt(n)
+        assert err < 1e-4, (n, block, err)
