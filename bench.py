@@ -118,7 +118,9 @@ def on_chip_diagnostics(solver) -> dict:
         rhs = spmv_a(neq.sparse_a, spmv_at(neq.sparse_a, v.astype(jnp.float64))).astype(
             solver.dtype
         )
-        y = jax.jit(lambda r: neq.solve(r))(rhs)
+        # neq as an argument, not a closure constant (remote-compile
+        # platforms reject HLO uploads embedding the ~GB factor).
+        y = jax.jit(lambda nq, r: nq.solve(r))(neq, rhs)
         diag["neq_resid"] = float(neq.residual_norm(rhs, y))
     return diag
 

@@ -119,6 +119,14 @@ def main():
     )
     emit(stage="spmv_pair", ms_per=1e3 * t / reps)
 
+    # 3a. compact composed normal-equation operator
+    from cuadmm_tpu.ops.sparse import aat_matvec
+
+    t, _ = timed(
+        loop(lambda v, pp: aat_matvec(pp.neq.sparse_a, v), rhs), rhs, p
+    )
+    emit(stage="aat_compact", ms_per=1e3 * t / reps)
+
     # 3b. sparse matvecs in the high-precision dtype (f64 emulation cost)
     rhs_hp = jnp.asarray(rhs0, jnp.float64)
     t, _ = timed(

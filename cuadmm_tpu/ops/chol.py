@@ -54,7 +54,7 @@ import numpy as np
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
-from cuadmm_tpu.ops.sparse import SparseA, spmv_a, spmv_at
+from cuadmm_tpu.ops.sparse import SparseA, aat_matvec, spmv_a, spmv_at
 
 
 def _hp_dtype():
@@ -175,8 +175,7 @@ jax.tree_util.register_dataclass(
 
 
 def _aat_matvec(sa: SparseA, v: jax.Array) -> jax.Array:
-    x = spmv_at(sa, v)
-    return spmv_a(sa, x.astype(v.dtype))
+    return aat_matvec(sa, v)
 
 
 def _pcg(sa, rhs, inv_diag, bj_inv, x0, tol, max_iter):
@@ -380,19 +379,23 @@ def _calibrate_applies(neq: NormalEqSolver, con_num: int, max_applies: int = 6):
     target = 1e-10 if hp == jnp.float64 else 1e-5
     rng = np.random.default_rng(0)
     v = jnp.asarray(rng.standard_normal(con_num), hp)
-    rhs = jax.jit(lambda v: _aat_matvec(neq.sparse_a, v))(v)
+    # NB: the solver pytree must be an *argument*, never a closure constant:
+    # jit embeds closed-over arrays in the program, and on remote-compile
+    # platforms shipping a ~GB factor inside the HLO upload kills the
+    # compile service.
+    rhs = jax.jit(lambda nq, v: _aat_matvec(nq.sparse_a, v))(neq, v)
 
     @jax.jit
-    def sweep(y, rhs):
-        r = rhs - _aat_matvec(neq.sparse_a, y)
-        y = y + neq._apply_factor(r).astype(hp)
-        res = jnp.linalg.norm(rhs - _aat_matvec(neq.sparse_a, y)) / jnp.linalg.norm(rhs)
+    def sweep(nq, y, rhs):
+        r = rhs - _aat_matvec(nq.sparse_a, y)
+        y = y + nq._apply_factor(r).astype(hp)
+        res = jnp.linalg.norm(rhs - _aat_matvec(nq.sparse_a, y)) / jnp.linalg.norm(rhs)
         return y, res
 
     y = jnp.zeros_like(rhs)
     res = np.inf
     for k in range(1, max_applies + 1):
-        y, res = sweep(y, rhs)
+        y, res = sweep(neq, y, rhs)
         if float(res) < target:
             break
     if not np.isfinite(float(res)) or float(res) > 1e-2:
@@ -484,6 +487,15 @@ def build_normal_solver(
     if mode in ("precond", "dense"):
         if mode == "precond":
             fac_dtype = jnp.float32 if on_accel else jnp.dtype(dtype)
+            if (
+                not on_accel
+                and con_num * con_num * jnp.dtype(fac_dtype).itemsize
+                > cpu_max_factor_bytes
+            ):
+                # XLA:CPU kernels index with 32-bit byte offsets; an f64
+                # factor over 2 GiB segfaults (observed at con_num=19988).
+                # The f32 factor + f64 refinement handles it instead.
+                fac_dtype = jnp.float32
             eps0 = max(precond_eps, 1e-12 if fac_dtype == jnp.float64 else 1e-5)
         else:
             fac_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

@@ -17,7 +17,7 @@ thousands of singletons) cost only their own bucket's padding.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -65,16 +65,27 @@ jax.tree_util.register_dataclass(
 
 @dataclasses.dataclass(frozen=True)
 class SparseA:
-    """The (con_num x vec_len) constraint matrix A, both directions."""
+    """The (con_num x vec_len) constraint matrix A, both directions.
+
+    ``a_idx_compact``: when the A^T table uses the compact-scatter output
+    encoding, these are the A-direction gather indices remapped from pool
+    positions to A^T's compact partial-sum vector (sentinel = its length).
+    The composed matvec A (A^T y) -- the normal-equation operator, run
+    several times per iteration -- then never materializes the pool-length
+    intermediate at all (see chol._aat_matvec).
+    """
 
     a: EllTable  # A @ x
     at: EllTable  # A^T @ y
     con_num: int = dataclasses.field(metadata=dict(static=True))
     vec_len: int = dataclasses.field(metadata=dict(static=True))
+    a_idx_compact: Optional[Tuple[jax.Array, ...]] = None
 
 
 jax.tree_util.register_dataclass(
-    SparseA, data_fields=["a", "at"], meta_fields=["con_num", "vec_len"]
+    SparseA,
+    data_fields=["a", "at", "a_idx_compact"],
+    meta_fields=["con_num", "vec_len"],
 )
 
 
@@ -199,11 +210,31 @@ def build_sparse_a_pool(
     at_vals_lo = np.where(off, vals / np.sqrt(2.0), vals)
     at_vals = np.concatenate([at_vals_lo, vals[off] / np.sqrt(2.0)])
 
+    a_tbl = _build_ell(at_con_idx, a_cols, a_vals, con_num, pool_len, dtype)
+    at_tbl = _build_ell(at_rows, at_cols, at_vals, pool_len, con_num, dtype)
+    a_idx_compact = None
+    if at_tbl.out_pos is not None:
+        # Remap A's pool-position gathers to A^T's compact partial-sum
+        # vector: slot -> its cat index if A^T writes it, else the trailing
+        # zero sentinel. Powers the pool-free composed matvec A (A^T y).
+        out_pos = np.asarray(at_tbl.out_pos)
+        out_src = np.asarray(at_tbl.out_src)
+        n_cat = sum(v.shape[0] for v in at_tbl.vals)
+        itype = at_tbl.out_pos.dtype
+        remapped = []
+        for gi in a_tbl.idx:
+            g = np.asarray(gi)
+            p = np.searchsorted(out_pos, g)
+            pc = np.minimum(p, len(out_pos) - 1) if len(out_pos) else p * 0
+            hit = (p < len(out_pos)) & (out_pos[pc] == g) if len(out_pos) else np.zeros(g.shape, bool)
+            remapped.append(jnp.asarray(np.where(hit, out_src[pc], n_cat), itype))
+        a_idx_compact = tuple(remapped)
     return SparseA(
-        a=_build_ell(at_con_idx, a_cols, a_vals, con_num, pool_len, dtype),
-        at=_build_ell(at_rows, at_cols, at_vals, pool_len, con_num, dtype),
+        a=a_tbl,
+        at=at_tbl,
         con_num=int(con_num),
         vec_len=pool_len,
+        a_idx_compact=a_idx_compact,
     )
 
 
@@ -213,9 +244,7 @@ def cast_sparse_a(sa: SparseA, dtype) -> SparseA:
     cast_t = lambda t: dataclasses.replace(
         t, vals=tuple(v.astype(dtype) for v in t.vals)
     )
-    return SparseA(
-        a=cast_t(sa.a), at=cast_t(sa.at), con_num=sa.con_num, vec_len=sa.vec_len
-    )
+    return dataclasses.replace(sa, a=cast_t(sa.a), at=cast_t(sa.at))
 
 
 def _ell_matvec(t: EllTable, x: jax.Array) -> jax.Array:
@@ -243,6 +272,30 @@ def spmv_a(sa: SparseA, x: jax.Array) -> jax.Array:
 def spmv_at(sa: SparseA, y: jax.Array) -> jax.Array:
     """A^T @ y: (con_num,) -> (vec_len,)."""
     return _ell_matvec(sa.at, y)
+
+
+def aat_matvec(sa: SparseA, y: jax.Array) -> jax.Array:
+    """(A A^T) y -- the normal-equation operator, composed compactly.
+
+    With ``a_idx_compact`` the A-direction gathers read A^T's compact
+    partial-sum vector (~nnz-sized) directly; the pool-length intermediate
+    of spmv_a(spmv_at(y)) -- its zeros fill, scatter, and re-gather -- is
+    skipped entirely. Falls back to the two-step composition otherwise.
+    """
+    if sa.a_idx_compact is None or sa.a.out_perm is None:
+        return spmv_a(sa, spmv_at(sa, y))
+    t_at, t_a = sa.at, sa.a
+    y_ext = jnp.concatenate([y, jnp.zeros((1,), y.dtype)])
+    parts = [jnp.sum(v * y_ext[i], axis=1) for i, v in zip(t_at.idx, t_at.vals)]
+    parts.append(jnp.zeros((1,), y.dtype))  # sentinel for never-written slots
+    cat = jnp.concatenate(parts)
+    parts2 = [
+        jnp.sum(v * cat[i2], axis=1)
+        for i2, v in zip(sa.a_idx_compact, t_a.vals)
+    ]
+    parts2.append(jnp.zeros((1,), y.dtype))
+    cat2 = parts2[0] if len(parts2) == 1 else jnp.concatenate(parts2)
+    return cat2[t_a.out_perm]
 
 
 def normalize_rows(

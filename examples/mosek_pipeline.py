@@ -21,7 +21,9 @@ jax.config.update("jax_enable_x64", True)  # default SolverConfig dtype is float
 from cuadmm_tpu import SDPSolver, SolverConfig
 from cuadmm_tpu.io.mosek import load_mosek_mat
 
-DEFAULT = "/root/reference/examples/SPOT/data/MOSEK/PlanarHand_N=1_MOMENT.mat"
+# PushT ships with the reference and solves its 200 demo iterations in
+# ~1 min on CPU (PlanarHand N=1 has con_num ~ 66k -> the CG path, minutes).
+DEFAULT = "/root/reference/examples/SPOT/data/MOSEK/PushT_N=10_MOMENT.mat"
 
 
 def main() -> None:

@@ -296,3 +296,32 @@ def test_blocked_tri_inv():
         li = np.asarray(_tri_inv(jnp.asarray(l, jnp.float32), block=block), np.float64)
         err = np.linalg.norm(li @ l - np.eye(n)) / np.sqrt(n)
         assert err < 1e-4, (n, block, err)
+
+
+def test_compact_aat_matvec():
+    """aat_matvec (the pool-free composed normal-equation operator) must
+    agree with spmv_a(spmv_at(y)) and with the host scipy product."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from cuadmm_tpu.ops.sparse import aat_matvec, build_sparse_a_pool, spmv_a, spmv_at
+    from cuadmm_tpu.structure import BlockStructure
+
+    rng = np.random.default_rng(7)
+    blk = [("s", 5)] * 40 + [("s", 13)] * 10 + [("u", 7)]
+    st = BlockStructure(blk, "pow2", 64, 0)
+    con, nnz = 150, 600
+    rows_svec = rng.integers(0, st.vec_len, nnz)
+    cols_con = rng.integers(0, con, nnz)
+    vals = rng.standard_normal(nnz)
+    key = cols_con.astype(np.int64) * st.vec_len + rows_svec
+    _, keep = np.unique(key, return_index=True)
+    rows_svec, cols_con, vals = rows_svec[keep], cols_con[keep], vals[keep]
+    sa = build_sparse_a_pool(rows_svec, cols_con, vals, con, st, jnp.float64)
+    assert sa.a_idx_compact is not None
+    y = rng.standard_normal(con)
+    composed = np.asarray(spmv_a(sa, spmv_at(sa, jnp.asarray(y))))
+    got = np.asarray(aat_matvec(sa, jnp.asarray(y)))
+    np.testing.assert_allclose(got, composed, atol=1e-12)
+    A = sp.csr_matrix((vals, (cols_con, rows_svec)), shape=(con, st.vec_len))
+    np.testing.assert_allclose(got, A @ (A.T @ y), atol=1e-10)
