@@ -34,7 +34,10 @@ PROBLEMS = {
     "rose13": ("txt", f"{REF}/plato/TXT/rose13",
                {"ref_total_s": 210.7, "ref_s_per_iter": 0.0035, "ref_pobj": 11.9744487}),
     "ros_2000": ("txt", f"{REF}/plato/TXT/ros_2000", {"ref_total_s": 3.4}),
-    "1dc.1024": ("txt", f"{REF}/plato/TXT/1dc.1024",
+    # The TXT export of 1dc.1024 is incomplete (no C.txt) -- load the
+    # cuADMM-layout MATLAB archive instead (validated bit-exact against
+    # the committed At.txt, tests/test_importers.py).
+    "1dc.1024": ("admm_mat", f"{REF}/plato/MATLAB/1dc.1024.mat",
                  {"ref_total_s": 22.1, "ref_s_per_iter": 0.0624, "ref_pobj": -97.1043558}),
     "biggs": ("txt", f"{REF}/plato/TXT/biggs", {}),
     # NB: plato/TXT/chs5000 and taha1a in the reference tree are incomplete
@@ -49,10 +52,14 @@ PROBLEMS = {
         f"{REF}/SPOT/data/MOSEK/PlanarHand_N=1_MOMENT.mat",
         {"ref_total_s": 54.2, "ref_s_per_iter": 0.0616, "ref_pobj": 1.37991189e-05},
     ),
+    # quasar-500's TXT export has no At.txt; the QUASAR constraint set is
+    # fully structural and regenerated exactly (counts pinned against the
+    # reference load log -- models/quasar.py).
     "quasar500": (
-        "txt",
+        "quasar",
         f"{REF}/plato/TXT/quasar-500",
-        {"ref_total_s": 1538.2, "ref_s_per_iter": 0.2460},
+        {"ref_total_s": 1538.2, "ref_s_per_iter": 0.2460,
+         "ref_pobj": 452.243076, "ref_iterations": 6253},
     ),
 }
 
@@ -65,6 +72,14 @@ def load(kind: str, path: str):
         return Problem.from_txt(path)
     if kind == "mosek":
         return load_mosek_mat(path)
+    if kind == "admm_mat":
+        from cuadmm_tpu.io.admm_mat import load_admm_mat
+
+        return load_admm_mat(path)
+    if kind == "quasar":
+        from cuadmm_tpu.models.quasar import load_quasar_txt
+
+        return load_quasar_txt(path)
     raise ValueError(kind)
 
 

@@ -1,0 +1,146 @@
+"""QUASAR rotation-search SDP: constraint generator + loader.
+
+The reference's headline huge-single-block benchmark is ``quasar-500``
+(one 2004x2004 PSD block, 756,501 constraints; reference:
+examples/plato/logs/quasar-500.log), but its TXT export is incomplete --
+``At.txt`` was never committed. The constraint set of the QUASAR
+relaxation (Yang & Carlone, "A quaternion-based certifiably optimal
+solution to the Wahba problem with outliers") is fully structural, so we
+regenerate it exactly. For X in S^{4(N+1)} partitioned into 4x4 blocks
+X_ij (i, j = 0..N):
+
+  1. tr(X) = N + 1                                  (1 constraint)
+  2. X_ii = X_00 for i = 1..N                       (10 N constraints)
+  3. X_ij symmetric for all i < j                   (6 N(N+1)/2 constraints)
+
+For N = 500 that is 1 + 5000 + 751500 = 756501 constraints with
+2004 + 2*10*500 + 2*6*125250 = 1,515,004 A^T nonzeros -- both numbers
+matching the reference's load log exactly (quasar-500.log:4-7), which
+pins the reconstruction. ``b`` and ``C`` (the measurement data) ARE in
+the reference TXT directory and are read from there.
+
+svec convention: row-major lower triangle, idx(r, c) = r(r+1)/2 + c for
+r >= c, off-diagonals scaled by sqrt(2) (reference:
+src/utils/get_maps.cu:40-66, src/kernels/vec_mat_conversion.cu:5).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Tuple
+
+import numpy as np
+
+from cuadmm_tpu.problem import Problem
+
+SQRT2INV = 1.0 / math.sqrt(2.0)
+
+
+def _svec_idx(r: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Lower-triangle row-major svec index; requires r >= c elementwise."""
+    return r * (r + 1) // 2 + c
+
+
+def quasar_constraints(n_poses: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
+    """Build A^T COO triplets (svec_idx, con_idx, val) for QUASAR with
+    ``n_poses`` = N (block dimension 4(N+1)).
+
+    Returns (at_rows, at_cols, at_vals, con_num, n) with constraint-major
+    (col, row) ordering and the trace constraint at row 0 (the reference's
+    b.txt puts its single nonzero, N+1, at constraint 0).
+    """
+    N = n_poses
+    n = 4 * (N + 1)
+    rows_parts, cols_parts, vals_parts = [], [], []
+    con = 0
+
+    # 1. tr(X) = N+1: diagonal svec entries, coefficient 1.
+    d = np.arange(n, dtype=np.int64)
+    rows_parts.append(_svec_idx(d, d))
+    cols_parts.append(np.zeros(n, dtype=np.int64))
+    vals_parts.append(np.ones(n))
+    con += 1
+
+    # 2. X_ii = X_00, i = 1..N: for each of the 10 pairs a <= b in 0..3,
+    #    coefficient +1 (diag) / +1/sqrt(2) (offdiag) at X_ii's entry and
+    #    the negative at X_00's. Constraint order: i-major, (b, a) minor
+    #    (any fixed order defines the same feasible set; b is zero here).
+    ab = [(a, b) for b in range(4) for a in range(b + 1)]  # (a<=b), 10 pairs
+    a_arr = np.array([a for a, b in ab], dtype=np.int64)
+    b_arr = np.array([b for a, b in ab], dtype=np.int64)
+    i_arr = np.arange(1, N + 1, dtype=np.int64)
+    # Broadcast: (N, 10)
+    ii = i_arr[:, None]
+    r_own = 4 * ii + b_arr[None, :]
+    c_own = 4 * ii + a_arr[None, :]
+    r_base = b_arr[None, :] + np.zeros_like(ii)
+    c_base = a_arr[None, :] + np.zeros_like(ii)
+    coeff = np.where(a_arr == b_arr, 1.0, SQRT2INV)[None, :] + np.zeros((N, 1))
+    con_idx = con + np.arange(N * 10, dtype=np.int64).reshape(N, 10)
+    rows_parts.append(_svec_idx(r_own, c_own).ravel())
+    cols_parts.append(con_idx.ravel())
+    vals_parts.append(coeff.ravel())
+    rows_parts.append(_svec_idx(r_base, c_base).ravel())
+    cols_parts.append(con_idx.ravel())
+    vals_parts.append((-coeff).ravel())
+    con += N * 10
+
+    # 3. X_ij[a, b] = X_ij[b, a] for i < j, a < b: +1/sqrt(2) at
+    #    (4j+b, 4i+a), -1/sqrt(2) at (4j+a, 4i+b); both are strict
+    #    lower-triangle positions since 4j > 4i + 3.
+    pairs_ij = np.array(
+        [(i, j) for j in range(1, N + 1) for i in range(j)], dtype=np.int64
+    )  # (P, 2), P = (N+1)N/2
+    ab2 = [(a, b) for b in range(4) for a in range(b)]  # a < b, 6 pairs
+    a2 = np.array([a for a, b in ab2], dtype=np.int64)
+    b2 = np.array([b for a, b in ab2], dtype=np.int64)
+    i2 = pairs_ij[:, 0][:, None]  # (P, 1)
+    j2 = pairs_ij[:, 1][:, None]
+    rp = 4 * j2 + b2[None, :]
+    cp = 4 * i2 + a2[None, :]
+    rm = 4 * j2 + a2[None, :]
+    cm = 4 * i2 + b2[None, :]
+    P = pairs_ij.shape[0]
+    con_idx2 = con + np.arange(P * 6, dtype=np.int64).reshape(P, 6)
+    rows_parts.append(_svec_idx(rp, cp).ravel())
+    cols_parts.append(con_idx2.ravel())
+    vals_parts.append(np.full(P * 6, SQRT2INV))
+    rows_parts.append(_svec_idx(rm, cm).ravel())
+    cols_parts.append(con_idx2.ravel())
+    vals_parts.append(np.full(P * 6, -SQRT2INV))
+    con += P * 6
+
+    rows = np.concatenate(rows_parts)
+    cols = np.concatenate(cols_parts)
+    vals = np.concatenate(vals_parts)
+    order = np.lexsort((rows, cols))
+    return rows[order], cols[order], vals[order], con, n
+
+
+def load_quasar_txt(path: str, name: str = "") -> Problem:
+    """Load a quasar-* problem from a reference TXT directory that has
+    blk/b/C but no At.txt, regenerating the structural constraints."""
+    from cuadmm_tpu.io.txt import read_blk, read_sparse_vector
+
+    blk = read_blk(os.path.join(path, "blk.txt"))
+    if len(blk) != 1 or blk[0][0] != "s" or blk[0][1] % 4 != 0:
+        raise ValueError(f"not a QUASAR block structure: {blk}")
+    n = blk[0][1]
+    N = n // 4 - 1
+    at_rows, at_cols, at_vals, con_num, n_chk = quasar_constraints(N)
+    assert n_chk == n
+    b_idx, b_vals = read_sparse_vector(os.path.join(path, "b.txt"))
+    c_idx, c_vals = read_sparse_vector(os.path.join(path, "C.txt"))
+    return Problem(
+        blk=blk,
+        con_num=con_num,
+        At_rows=at_rows,
+        At_cols=at_cols,
+        At_vals=at_vals,
+        b_indices=b_idx.astype(np.int64),
+        b_vals=b_vals,
+        C_indices=c_idx.astype(np.int64),
+        C_vals=c_vals,
+        name=name or os.path.basename(os.path.normpath(path)),
+    )

@@ -84,3 +84,49 @@ def test_mosek_planarhand_loads():
     assert p.con_num == 66008
     assert len(p.blk) == 122
     assert p.validate() == []
+
+
+def test_admm_mat_1dc1024_matches_txt_at():
+    """1dc.1024's TXT export has no C.txt; the cuADMM-layout .mat archive
+    is the complete source. Its At must reproduce the committed At.txt
+    bit-for-bit (same svec convention)."""
+    from cuadmm_tpu.io.admm_mat import load_admm_mat
+    from cuadmm_tpu.io.txt import read_coo_matrix
+
+    p = load_admm_mat(f"{REF}/plato/MATLAB/1dc.1024.mat")
+    assert p.blk == [("s", 1024)]
+    assert p.con_num == 24064
+    r, c, v = read_coo_matrix(f"{REF}/plato/TXT/1dc.1024/At.txt")
+    order = np.lexsort((r, c))
+    np.testing.assert_array_equal(r[order], p.At_rows)
+    np.testing.assert_array_equal(c[order], p.At_cols)
+    np.testing.assert_array_equal(v[order], p.At_vals)
+
+
+def test_quasar_constraints_structure():
+    """QUASAR constraint generator: counts pinned to the reference load
+    log (quasar-500.log: 756501 constraints, 1515004 At nnz) and a known
+    feasible point (X_ij = q q^T for a unit quaternion q) satisfies every
+    constraint exactly."""
+    from cuadmm_tpu.models.quasar import load_quasar_txt, quasar_constraints
+
+    r, c, v, m, n = quasar_constraints(2)
+    assert (m, n) == (1 + 20 + 18, 12)
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal(4)
+    q /= np.linalg.norm(q)
+    X = np.kron(np.ones((3, 3)), np.outer(q, q))
+    tri_r, tri_c = np.tril_indices(n)
+    vals = X[tri_r, tri_c] * np.where(tri_r == tri_c, 1.0, np.sqrt(2.0))
+    svec = np.zeros(n * (n + 1) // 2)
+    svec[tri_r * (tri_r + 1) // 2 + tri_c] = vals
+    A = sp.csr_matrix((v, (c, r)), shape=(m, n * (n + 1) // 2))
+    out = A @ svec
+    assert abs(out[0] - 3.0) < 1e-12  # tr(X) = N+1
+    assert np.abs(out[1:]).max() < 1e-12
+
+    p = load_quasar_txt(f"{REF}/plato/TXT/quasar-500")
+    assert p.con_num == 756501
+    assert p.At_nnz == 1515004
+    assert p.vec_len == 2009010
+    assert p.validate() == []
