@@ -416,9 +416,20 @@ def _block_jacobi_inv(
     nb = (con_num + block - 1) // block
     out = np.zeros((nb, block, block), dtype=np.float64)
     aat_csc = aat.tocsc()
+    diag_all = aat.diagonal()
     for i in range(nb):
         s, e = i * block, min((i + 1) * block, con_num)
-        d = np.asarray(aat_csc[s:e, s:e].todense())
+        sub = aat_csc[s:e, s:e]
+        if sub.nnz <= e - s:
+            # Exactly diagonal block (e.g. the mutually-orthogonal
+            # antisymmetry rows of QUASAR's AA^T): invert in O(n).
+            dvals = np.maximum(diag_all[s:e], 1e-30)
+            idx = np.arange(e - s)
+            out[i, idx, idx] = 1.0 / (dvals * (1.0 + eps))
+            for j in range(e - s, block):
+                out[i, j, j] = 1.0
+            continue
+        d = np.asarray(sub.todense())
         scale = max(np.trace(d) / max(e - s, 1), 1.0)
         d[np.diag_indices(e - s)] += eps * scale
         try:
@@ -482,7 +493,13 @@ def build_normal_solver(
             if mode == "precond" and con_num * con_num * 4 > cpu_max_factor_bytes:
                 mode = "cg"
     if cg_tol is None or cg_tol <= 0.0:
-        cg_tol = 64.0 * float(jnp.finfo(_hp_dtype()).eps)
+        # Key the default off the STATE dtype, not the refinement dtype:
+        # with f32 state the rhs itself only carries ~1e-7 of signal, and
+        # chasing 64*eps64 = 1.4e-14 burns cg_max_iter matvecs every solve.
+        if jnp.dtype(dtype) == jnp.float32:
+            cg_tol = 1e-7
+        else:
+            cg_tol = 64.0 * float(jnp.finfo(_hp_dtype()).eps)
 
     if mode in ("precond", "dense"):
         if mode == "precond":
