@@ -102,17 +102,28 @@ class NormalEqSolver:
         explicit inverse of P is NOT: its error scales as cond(P)*eps32
         ~ 1 -- the round-1 failure mode.)"""
         if self.inv_l is not None:
+            # The stored factor is lane-padded (pad_factor). On TPU the
+            # fused Pallas kernel streams it from HBM once per application
+            # (ops/precond_apply.py) -- half the bytes of the dot pair
+            # below, and full-f32 VPU arithmetic (no bf16 MXU passes).
+            n = r.shape[0]
+            if jax.default_backend() in ("tpu", "axon"):
+                from cuadmm_tpu.ops.precond_apply import apply_padded
+
+                return apply_padded(
+                    self.inv_l, r.astype(self.inv_l.dtype)
+                ).astype(r.dtype)
             hi = jax.lax.Precision.HIGHEST
+            rp = r.astype(self.inv_l.dtype)
+            if self.inv_l.shape[0] != n:
+                rp = jnp.pad(rp, (0, self.inv_l.shape[0] - n))
             t = jax.lax.dot_general(
-                self.inv_l,
-                r.astype(self.inv_l.dtype),
-                (((1,), (0,)), ((), ())),
-                precision=hi,
+                self.inv_l, rp, (((1,), (0,)), ((), ())), precision=hi
             )
             y = jax.lax.dot_general(
                 self.inv_l, t, (((0,), (0,)), ((), ())), precision=hi
             )
-            return y.astype(r.dtype)
+            return y[:n].astype(r.dtype)
         return jax.scipy.linalg.cho_solve(
             (self.chol_l, True), r.astype(self.chol_l.dtype)
         ).astype(r.dtype)
@@ -524,7 +535,9 @@ def build_normal_solver(
         refine = "float64" if jax.config.jax_enable_x64 else "float32"
         refine_sa = sa_hp
         if on_accel and fac_dtype == jnp.float32:
-            inv_l = _tri_inv(l)
+            from cuadmm_tpu.ops.precond_apply import pad_factor
+
+            inv_l = pad_factor(_tri_inv(l))
             l = None  # the factor is no longer needed; free ~n^2 HBM
             if jnp.dtype(dtype) == jnp.float32:
                 refine = "float32"

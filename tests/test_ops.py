@@ -325,3 +325,21 @@ def test_compact_aat_matvec():
     np.testing.assert_allclose(got, composed, atol=1e-12)
     A = sp.csr_matrix((vals, (cols_con, rows_svec)), shape=(con, st.vec_len))
     np.testing.assert_allclose(got, A @ (A.T @ y), atol=1e-10)
+
+
+def test_fused_precond_apply_matches_dot_pair():
+    """Pallas fused y = M^T (M r) (ops/precond_apply.py) against the plain
+    dot pair, on padded and non-lane-aligned sizes (interpret mode)."""
+    from cuadmm_tpu.ops.precond_apply import apply_padded, pad_factor
+
+    rng = np.random.default_rng(3)
+    for n in (128, 130, 517):
+        L = np.tril(rng.standard_normal((n, n))) + n * np.eye(n)
+        M = np.linalg.inv(L).astype(np.float32)
+        r = rng.standard_normal(n).astype(np.float32)
+        ref = M.T @ (M @ r)
+        y = np.asarray(
+            apply_padded(pad_factor(jnp.asarray(M)), jnp.asarray(r), interpret=True)
+        )
+        assert y.shape == (n,)
+        assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
