@@ -198,16 +198,27 @@ def _pcg(sa, rhs, inv_diag, bj_inv, x0, tol, max_iter):
     hp = rhs.dtype
 
     def apply_m(r):
+        # Jacobi everywhere, with the dense block inverses overriding the
+        # leading ``bj_rows`` rows (the dense prefix; rows past it have an
+        # exactly-diagonal AA^T block -- e.g. QUASAR's mutually-orthogonal
+        # antisymmetry constraints -- so storing 2048^2 identities for
+        # them would be pure HBM waste). The dense apply runs in the
+        # factor's own f32 (a preconditioner does not need hp accuracy;
+        # casting bj_inv up would materialize an f64 copy every call).
+        z = r * inv_diag.astype(hp)
         if bj_inv is not None:
-            bs = bj_inv.shape[-1]
-            pad = bj_inv.shape[0] * bs - r.shape[0]
-            rp = jnp.pad(r, (0, pad)).reshape(bj_inv.shape[0], bs)
-            z = jnp.einsum(
-                "bij,bj->bi", bj_inv.astype(hp), rp,
+            nd, bs = bj_inv.shape[0], bj_inv.shape[-1]
+            head = jnp.pad(r, (0, max(0, nd * bs - r.shape[0])))[: nd * bs].reshape(
+                nd, bs
+            )
+            zh = jnp.einsum(
+                "bij,bj->bi",
+                bj_inv,
+                head.astype(bj_inv.dtype),
                 precision=jax.lax.Precision.HIGHEST,
-            ).reshape(-1)
-            return z[: r.shape[0]]
-        return r * inv_diag.astype(hp)
+            ).reshape(-1)[: min(nd * bs, r.shape[0])].astype(hp)
+            z = z.at[: zh.shape[0]].set(zh)
+        return z
 
     rhs_nsq = jnp.dot(rhs, rhs)
 
@@ -425,22 +436,27 @@ def _block_jacobi_inv(
     """Inverses of the dense diagonal blocks of AA^T (host, f64), stacked
     (nb, block, block) for a batched-matvec preconditioner application."""
     nb = (con_num + block - 1) // block
-    out = np.zeros((nb, block, block), dtype=np.float64)
     aat_csc = aat.tocsc()
-    diag_all = aat.diagonal()
+    # Only blocks with off-diagonal structure earn a dense inverse; the
+    # rest are served by the Jacobi diagonal (exact there). Store the
+    # dense blocks as a PREFIX: for structured problems (QUASAR: all
+    # coupling sits in the first ~5k rows) this collapses the array from
+    # (nb, block, block) to a handful of blocks -- the full array at
+    # con_num=756501 was 5.8 GB and OOMed the chip.
+    nd = 0
+    subs = []
     for i in range(nb):
         s, e = i * block, min((i + 1) * block, con_num)
         sub = aat_csc[s:e, s:e]
-        if sub.nnz <= e - s:
-            # Exactly diagonal block (e.g. the mutually-orthogonal
-            # antisymmetry rows of QUASAR's AA^T): invert in O(n).
-            dvals = np.maximum(diag_all[s:e], 1e-30)
-            idx = np.arange(e - s)
-            out[i, idx, idx] = 1.0 / (dvals * (1.0 + eps))
-            for j in range(e - s, block):
-                out[i, j, j] = 1.0
-            continue
-        d = np.asarray(sub.todense())
+        subs.append(sub)
+        if sub.nnz > e - s:
+            nd = i + 1
+    if nd == 0:
+        return None
+    out = np.zeros((nd, block, block), dtype=np.float64)
+    for i in range(nd):
+        s, e = i * block, min((i + 1) * block, con_num)
+        d = np.asarray(subs[i].todense())
         scale = max(np.trace(d) / max(e - s, 1), 1.0)
         d[np.diag_indices(e - s)] += eps * scale
         try:
@@ -566,10 +582,10 @@ def build_normal_solver(
             bj = _block_jacobi_inv(
                 aat, con_num, cg_block_jacobi, max(eps, 1e-10), jnp.float32
             )
-            inv_diag = None
-        else:
-            d = np.maximum(aat.diagonal(), 1e-30)
-            inv_diag = jnp.asarray(1.0 / d, _hp_dtype())
+        # Jacobi diagonal always present: it serves every row past the
+        # dense block-Jacobi prefix (see _pcg.apply_m).
+        d = np.maximum(aat.diagonal(), 1e-30)
+        inv_diag = jnp.asarray(1.0 / d, _hp_dtype())
         return NormalEqSolver(
             mode="cg",
             chol_l=None,
