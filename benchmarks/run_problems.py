@@ -61,6 +61,21 @@ PROBLEMS = {
         {"ref_total_s": 1538.2, "ref_s_per_iter": 0.2460,
          "ref_pobj": 452.243076, "ref_iterations": 6253},
     ),
+    # Remaining plato problems whose TXT exports lack At.txt; loaded from
+    # the MATLAB archives instead. Reference numbers from plato/logs/*.log
+    # where a log exists (swissroll's reference run hit max_iter at
+    # relgap 1e-1, so no objective gate there; neosfbr25's log is empty).
+    "bqp-r1-40-1": ("admm_mat", f"{REF}/plato/MATLAB/bqp-r1-40-1.mat",
+                    {"ref_total_s": 706.1, "ref_s_per_iter": 0.0679,
+                     "ref_pobj": -283.8205300}),
+    "swissroll": ("admm_mat", f"{REF}/plato/MATLAB/swissroll.mat",
+                  {"ref_total_s": 1972.1, "ref_s_per_iter": 0.0197,
+                   "ref_converged": False}),
+    "neosfbr25": ("admm_mat", f"{REF}/plato/MATLAB/neosfbr25.mat", {}),
+    # SeDuMi-format archives (benchmarks.csv rows exist for taha1a).
+    "taha1a": ("sedumi_mat", f"{REF}/plato/MATLAB/taha1a.mat",
+               {"ref_total_s": 2.3}),
+    "chs5000": ("sedumi_mat", f"{REF}/plato/MATLAB/chs_5000.mat", {}),
 }
 
 
@@ -80,6 +95,10 @@ def load(kind: str, path: str):
         from cuadmm_tpu.models.quasar import load_quasar_txt
 
         return load_quasar_txt(path)
+    if kind == "sedumi_mat":
+        from cuadmm_tpu.io.sedumi import load_sedumi_mat
+
+        return load_sedumi_mat(path)
     raise ValueError(kind)
 
 

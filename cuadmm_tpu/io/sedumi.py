@@ -56,8 +56,13 @@ def sedumi_to_problem(A, b, c, K, name: str = "sedumi") -> Problem:
         raise NotImplementedError("second-order/rotated cones are not supported")
 
     A = sp.csc_matrix(A)
-    b = np.asarray(b, dtype=np.float64).ravel()
-    c = np.asarray(c, dtype=np.float64).ravel()
+    # b/c may be stored sparse in MATLAB archives (e.g. plato/taha1a.mat).
+    b = (
+        np.asarray(b.todense()) if sp.issparse(b) else np.asarray(b, dtype=np.float64)
+    ).astype(np.float64).ravel()
+    c = (
+        np.asarray(c.todense()) if sp.issparse(c) else np.asarray(c, dtype=np.float64)
+    ).astype(np.float64).ravel()
     n_cols = Kf + Kl + sum(n * n for n in Ks)
     if A.shape[1] != n_cols:
         if A.shape[0] == n_cols:  # caller passed At

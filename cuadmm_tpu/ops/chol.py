@@ -54,7 +54,15 @@ import numpy as np
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
-from cuadmm_tpu.ops.sparse import SparseA, aat_matvec, spmv_a, spmv_at
+from cuadmm_tpu.ops.sparse import (
+    EllTable,
+    SparseA,
+    _build_ell,
+    _ell_matvec,
+    aat_matvec,
+    spmv_a,
+    spmv_at,
+)
 
 
 def _hp_dtype():
@@ -74,6 +82,12 @@ class NormalEqSolver:
     sparse_a: Optional[SparseA]
     cg_tol: float
     cg_max_iter: int
+    # cg: AA^T itself in bucketed-ELL form (built host-side from the same
+    # sparse product as the preconditioner). One direct (con -> con)
+    # matvec per CG step instead of composing A (A^T y) through the
+    # pool-length intermediate -- at quasar-500 scale that skips a 4M-slot
+    # f64 scatter+gather per step. None outside cg mode.
+    aat_tbl: Optional[EllTable] = None
     # precond/dense: refinement applications per solve.
     applies: int = 2
     # host: callable rhs(np) -> y(np)
@@ -143,7 +157,7 @@ class NormalEqSolver:
         if self.mode == "cg":
             hp = _hp_dtype()
             y = _pcg(
-                self.sparse_a,
+                self._op(),
                 rhs.astype(hp),
                 self.inv_diag,
                 self.bj_inv,
@@ -163,16 +177,26 @@ class NormalEqSolver:
             )
         raise ValueError(self.mode)
 
+    def _op(self):
+        """The AA^T matvec: the explicit ELL table in cg mode, else the
+        composed sparse product."""
+        if self.aat_tbl is not None:
+            tbl = self.aat_tbl
+            return lambda v: _ell_matvec(tbl, v)
+        sa = self.sparse_a
+        return lambda v: _aat_matvec(sa, v)
+
     def residual_norm(self, rhs: jax.Array, y: jax.Array) -> jax.Array:
         """|| rhs - AA^T y || / || rhs || (diagnostics / regression tests)."""
         hp = _hp_dtype()
-        r = rhs.astype(hp) - _aat_matvec(self.sparse_a, y.astype(hp))
+        op = self._op()
+        r = rhs.astype(hp) - op(y.astype(hp)).astype(hp)
         return jnp.linalg.norm(r) / jnp.linalg.norm(rhs.astype(hp))
 
 
 jax.tree_util.register_dataclass(
     NormalEqSolver,
-    data_fields=["chol_l", "inv_diag", "bj_inv", "sparse_a", "inv_l"],
+    data_fields=["chol_l", "inv_diag", "bj_inv", "sparse_a", "inv_l", "aat_tbl"],
     meta_fields=[
         "mode",
         "cg_tol",
@@ -189,7 +213,7 @@ def _aat_matvec(sa: SparseA, v: jax.Array) -> jax.Array:
     return aat_matvec(sa, v)
 
 
-def _pcg(sa, rhs, inv_diag, bj_inv, x0, tol, max_iter):
+def _pcg(op, rhs, inv_diag, bj_inv, x0, tol, max_iter):
     """Preconditioned CG on AA^T, fixed-shape while_loop (jit-safe).
 
     Preconditioner: block-Jacobi when ``bj_inv`` is given, else Jacobi.
@@ -228,7 +252,7 @@ def _pcg(sa, rhs, inv_diag, bj_inv, x0, tol, max_iter):
 
     def body(carry):
         x, r, z, p, rz, it = carry
-        ap = _aat_matvec(sa, p)
+        ap = op(p).astype(hp)
         alpha = rz / jnp.dot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
@@ -238,7 +262,7 @@ def _pcg(sa, rhs, inv_diag, bj_inv, x0, tol, max_iter):
         p = z + beta * p
         return x, r, z, p, rz_new, it + 1
 
-    r0 = rhs - _aat_matvec(sa, x0)
+    r0 = rhs - op(x0).astype(hp)
     z0 = apply_m(r0)
     init = (x0, r0, z0, z0, jnp.dot(r0, z0), jnp.array(0, jnp.int32))
     x, *_ = jax.lax.while_loop(cond, body, init)
@@ -586,6 +610,16 @@ def build_normal_solver(
         # dense block-Jacobi prefix (see _pcg.apply_m).
         d = np.maximum(aat.diagonal(), 1e-30)
         inv_diag = jnp.asarray(1.0 / d, _hp_dtype())
+        # Explicit AA^T matvec table (see NormalEqSolver.aat_tbl).
+        coo = aat.tocoo()
+        aat_tbl = _build_ell(
+            coo.row.astype(np.int64),
+            coo.col.astype(np.int64),
+            coo.data,
+            con_num,
+            con_num,
+            _hp_dtype(),
+        )
         return NormalEqSolver(
             mode="cg",
             chol_l=None,
@@ -594,6 +628,7 @@ def build_normal_solver(
             sparse_a=sa_hp,
             cg_tol=cg_tol,
             cg_max_iter=cg_max_iter,
+            aat_tbl=aat_tbl,
         )
 
     if mode == "host":
