@@ -133,6 +133,14 @@ def main() -> None:
     baseline = BASELINES[mode]
 
     prob = Problem.from_txt(path)
+    extra = {}
+    # Numerics experiment knobs (BENCH_APPLIES=1 halves the per-iteration
+    # factor traffic at the cost of a looser normal-solve residual; the
+    # correctness gates below decide whether that trade is admissible).
+    if os.environ.get("BENCH_APPLIES"):
+        extra["precond_applies"] = int(os.environ["BENCH_APPLIES"])
+    if os.environ.get("BENCH_PRECOND_EPS"):
+        extra["precond_eps"] = float(os.environ["BENCH_PRECOND_EPS"])
     cfg = SolverConfig(
         dtype=dtype,
         verbose=False,
@@ -141,6 +149,7 @@ def main() -> None:
         # stop_tol=0 disables early exit so we time steady-state iterations.
         switch_admm=0 if mode == "admm" else 10**9,
         stop_tol=0.0,
+        **extra,
     )
     solver = SDPSolver(prob, cfg)
     diag = on_chip_diagnostics(solver)

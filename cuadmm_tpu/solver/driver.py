@@ -383,8 +383,17 @@ class SDPSolver:
         diverged = False
         recoveries = 0
         converged = float(np.maximum(state.maxfeas, state.relgap)) < stop_tol
+        # CG-mode iterations embed an inner while_loop of up to cg_max_iter
+        # matvecs per solve; a full check_every-sized chunk can then run for
+        # minutes of device time, which remote-attached TPU runtimes kill
+        # as a hung program (observed: quasar-500, chunk=100 x 2 solves x
+        # up to 400 CG steps -> worker restart). Bound the chunk so one
+        # dispatch stays comfortably under such watchdogs.
+        chunk_cap = max_iter
+        if self.params.neq.mode == "cg" and jax.default_backend() in ("tpu", "axon"):
+            chunk_cap = max(1, min(cfg.check_every, 2000 // max(self.params.neq.cg_max_iter, 1)))
         while it_done < max_iter and not converged:
-            chunk = min(cfg.check_every, max_iter - it_done)
+            chunk = min(cfg.check_every, chunk_cap, max_iter - it_done)
             runner = self._runner(step, chunk, stop_tol)
             # Profile one steady-state chunk (the second: the first chunk
             # pays compilation) -- the counterpart of the reference's
