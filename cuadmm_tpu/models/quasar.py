@@ -22,6 +22,13 @@ the reference TXT directory and are read from there.
 svec convention: row-major lower triangle, idx(r, c) = r(r+1)/2 + c for
 r >= c, off-diagonals scaled by sqrt(2) (reference:
 src/utils/get_maps.cu:40-66, src/kernels/vec_mat_conversion.cu:5).
+
+Caveat (ADVICE r3): because the reference never committed At.txt, the
+per-entry coefficient scaling (1 on diagonals, 1/sqrt(2) on svec
+off-diagonals) is *inferred* from the svec convention, not verified
+value-for-value. Count/feasibility tests pin the structure; value-level
+equivalence is certified only by the quasar500 benchmark's mandatory
+obj_match gate against the reference's logged objective.
 """
 
 from __future__ import annotations

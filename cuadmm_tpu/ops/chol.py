@@ -120,13 +120,17 @@ class NormalEqSolver:
             # fused Pallas kernel streams it from HBM once per application
             # (ops/precond_apply.py) -- half the bytes of the dot pair
             # below, and full-f32 VPU arithmetic (no bf16 MXU passes).
+            # Gated on an on-device compile probe (ops/pallas_gate.py):
+            # if Mosaic rejects the kernel we degrade to the dot pair
+            # instead of crashing the run (round-3 bench postmortem).
             n = r.shape[0]
             if jax.default_backend() in ("tpu", "axon"):
-                from cuadmm_tpu.ops.precond_apply import apply_padded
+                from cuadmm_tpu.ops import pallas_gate, precond_apply
 
-                return apply_padded(
-                    self.inv_l, r.astype(self.inv_l.dtype)
-                ).astype(r.dtype)
+                if pallas_gate.ok("fused_spd_apply", precond_apply.probe):
+                    return precond_apply.apply_padded(
+                        self.inv_l, r.astype(self.inv_l.dtype)
+                    ).astype(r.dtype)
             hi = jax.lax.Precision.HIGHEST
             rp = r.astype(self.inv_l.dtype)
             if self.inv_l.shape[0] != n:
@@ -473,7 +477,11 @@ def _block_jacobi_inv(
         s, e = i * block, min((i + 1) * block, con_num)
         sub = aat_csc[s:e, s:e]
         subs.append(sub)
-        if sub.nnz > e - s:
+        # Structural diagonality test (ADVICE r3: comparing nnz against the
+        # row count misclassifies blocks where all-zero AA^T rows offset
+        # off-diagonal entries; such blocks then fall to the Jacobi path
+        # whose huge inverse entries poison the preconditioned residual).
+        if sub.nnz > np.count_nonzero(sub.diagonal()):
             nd = i + 1
     if nd == 0:
         return None
@@ -607,8 +615,13 @@ def build_normal_solver(
                 aat, con_num, cg_block_jacobi, max(eps, 1e-10), jnp.float32
             )
         # Jacobi diagonal always present: it serves every row past the
-        # dense block-Jacobi prefix (see _pcg.apply_m).
-        d = np.maximum(aat.diagonal(), 1e-30)
+        # dense block-Jacobi prefix (see _pcg.apply_m). Zero AA^T rows
+        # (all-zero constraint rows) get a problem-scaled unit entry, not a
+        # 1/1e-30 = 1e30 spike that would poison the preconditioned
+        # residual (ADVICE r3).
+        diag = aat.diagonal()
+        scale = max(float(diag.mean()), 1e-30)
+        d = np.where(diag > 1e-12 * scale, diag, scale)
         inv_diag = jnp.asarray(1.0 / d, _hp_dtype())
         # Explicit AA^T matvec table (see NormalEqSolver.aat_tbl).
         coo = aat.tocoo()

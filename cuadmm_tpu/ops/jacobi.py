@@ -46,15 +46,22 @@ def _pair_schedule(n: int) -> np.ndarray:
 
 
 def _rotation(app, aqq, apq, eps):
-    """Jacobi rotation (c, s) zeroing a_pq; c=1, s=0 when already zero."""
+    """Jacobi rotation (c, s) zeroing a_pq; c=1, s=0 when already zero.
+
+    All literals fed to jnp.where must be dtype-matched scalars: under x64
+    a bare Python float becomes a concrete f64 scalar inside the traced
+    kernel, and Mosaic cannot lay out 64-bit values (round-3-class crash:
+    layout.h bitwidth<=32 check)."""
+    one = jnp.asarray(1.0, app.dtype)
+    zero = jnp.asarray(0.0, app.dtype)
     safe = jnp.abs(apq) > eps
-    denom = jnp.where(safe, 2.0 * apq, 1.0)
+    denom = jnp.where(safe, 2.0 * apq, one)
     theta = (aqq - app) / denom
     t = jnp.sign(theta) / (jnp.abs(theta) + jnp.sqrt(1.0 + theta * theta))
-    t = jnp.where(theta == 0.0, 1.0, t)  # theta=0 -> 45-degree rotation
+    t = jnp.where(theta == 0.0, one, t)  # theta=0 -> 45-degree rotation
     c = 1.0 / jnp.sqrt(1.0 + t * t)
     s = t * c
-    return jnp.where(safe, c, 1.0), jnp.where(safe, s, 0.0)
+    return jnp.where(safe, c, one), jnp.where(safe, s, zero)
 
 
 def _rotate_ref(a, v, p, q, eps):
@@ -142,8 +149,14 @@ def _jacobi_kernel(a_in, v_ref, w_ref, a_s, *, n, pairs, sweeps, eps):
     # static indices (Mosaic has no dynamic_slice on values), the sweep
     # loop stays a fori_loop to bound program size.
     a_s[:, :, :] = a_in[:, :, :]
-    v_ref[:, :, :] = jnp.broadcast_to(
-        jnp.eye(n, dtype=v_ref.dtype)[:, :, None], v_ref.shape
+    # Identity via explicit int32 iota + dtype-matched literals: under x64
+    # jnp.eye's arange is int64 and bare float literals are f64 -- both
+    # are >32-bit values Mosaic cannot lay out (bitwidth<=32 check).
+    row = jax.lax.broadcasted_iota(jnp.int32, v_ref.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, v_ref.shape, 1)
+    dt = v_ref.dtype
+    v_ref[:, :, :] = jnp.where(
+        row == col, jnp.asarray(1.0, dt), jnp.asarray(0.0, dt)
     )
 
     def one_sweep(_, carry):
@@ -151,7 +164,10 @@ def _jacobi_kernel(a_in, v_ref, w_ref, a_s, *, n, pairs, sweeps, eps):
             _rotate_ref(a_s, v_ref, p, q, eps)
         return carry
 
-    jax.lax.fori_loop(0, sweeps, one_sweep, 0)
+    # Carry AND bounds must be explicitly int32: under x64 bare Python ints
+    # become int64 loop counters/carries that Mosaic cannot legalize
+    # (round-3 bench crash; the i64 counter trips layout.h bitwidth<=32).
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(sweeps), one_sweep, jnp.int32(0))
 
     for i in range(n):
         w_ref[i, :] = a_s[i, i, :]
@@ -186,15 +202,20 @@ def jacobi_eigh_pallas(
     kernel = functools.partial(
         _jacobi_kernel, n=n, pairs=pairs, sweeps=sweeps_, eps=eps
     )
+    # Index-map literals must be int32-typed: under x64 a bare Python 0 in
+    # the returned tuple is promoted to int64 and Mosaic fails to legalize
+    # the mixed (i32, i64) return (round-3 bench crash). A numpy scalar,
+    # NOT a jax Array: index maps may not capture traced constants.
+    zero = np.int32(0)
     v_t, w_t = pl.pallas_call(
         kernel,
         grid=(b_pad // batch_tile,),
         in_specs=[
-            pl.BlockSpec((n, n, batch_tile), lambda i: (0, 0, i)),
+            pl.BlockSpec((n, n, batch_tile), lambda i: (zero, zero, i)),
         ],
         out_specs=[
-            pl.BlockSpec((n, n, batch_tile), lambda i: (0, 0, i)),
-            pl.BlockSpec((n, batch_tile), lambda i: (0, i)),
+            pl.BlockSpec((n, n, batch_tile), lambda i: (zero, zero, i)),
+            pl.BlockSpec((n, batch_tile), lambda i: (zero, i)),
         ],
         scratch_shapes=[pltpu.VMEM((n, n, batch_tile), mats.dtype)],
         out_shape=[
@@ -208,8 +229,25 @@ def jacobi_eigh_pallas(
     return w, v
 
 
+def _probe_pallas() -> None:
+    """Tiny real (non-interpret) compile+run on the live backend.
+    Input must be explicitly f32 (under x64, arange/literals are f64 and
+    the kernel itself would rightly reject 64-bit types)."""
+    m = np.stack([np.eye(3, dtype=np.float32) * s for s in (1.0, 2.0)])
+    w, v = jacobi_eigh_pallas(jnp.asarray(m, jnp.float32), batch_tile=8)
+    jax.block_until_ready((w, v))
+
+
 def jacobi_eigh(mats: jax.Array, sweeps: Optional[int] = None):
-    """Backend dispatch: Pallas on TPU, jnp elsewhere."""
-    if mats.shape[0] and jax.default_backend() == "tpu":
+    """Backend dispatch: Pallas on TPU (when the on-device compile probe
+    passes — see ops/pallas_gate.py), jnp elsewhere."""
+    from cuadmm_tpu.ops import pallas_gate
+
+    if (
+        mats.shape[0]
+        and mats.dtype == jnp.float32  # Mosaic rejects 64-bit types
+        and jax.default_backend() in ("tpu", "axon")
+        and pallas_gate.ok("jacobi_eigh_pallas", _probe_pallas)
+    ):
         return jacobi_eigh_pallas(mats, sweeps=sweeps)
     return jacobi_eigh_jnp(mats, sweeps=sweeps)

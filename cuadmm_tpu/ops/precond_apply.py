@@ -20,9 +20,17 @@ arithmetic is f32 on the VPU (elementwise multiply + cross-lane reduce):
 no bf16 MXU passes are involved, so the result is at least as accurate as
 the HIGHEST-precision dot_general pair it replaces.
 
-The row-block height is 64 (4.4 MB tiles at n=17152: two in flight stay
-far under the ~16 MB/core VMEM budget); n is padded to a lane multiple
+The row-block height is chosen per n_pad so that two in-flight factor
+tiles plus the r/acc/y rows stay under a ~10 MB VMEM budget (the chip has
+~16 MB/core; ADVICE r3: a fixed 64-row block at n_pad=32768 is 8.4 MB per
+tile and double-buffering overflows). n is padded to a lane multiple
 (128) with zeros, which is exact (zero rows/cols contribute nothing).
+
+NB (round-3 postmortem): every value the index maps return must be int32.
+Under x64 mode (which bench.py enables for f64 residual refinement) a bare
+Python literal in the index-map tuple is promoted to int64, and Mosaic
+cannot legalize the resulting mixed `(i32, i64)` func.return — the whole
+kernel fails to compile on real hardware while interpret-mode tests pass.
 """
 
 from __future__ import annotations
@@ -35,8 +43,22 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK = 64
 _LANE = 128
+_VMEM_BUDGET = 10 * 1024 * 1024  # bytes for the two in-flight factor tiles
+
+
+def _row_block(n_pad: int) -> int:
+    """Largest power-of-two row-block (8..128, so it always divides the
+    lane-padded n_pad) keeping 2 in-flight tiles under the VMEM budget."""
+    blk = 128
+    while blk > 8 and 2 * blk * n_pad * 4 > _VMEM_BUDGET:
+        blk //= 2
+    return blk
+
+
+# int32-typed literal for index maps (see module docstring). Must be a
+# numpy scalar, NOT a jax Array: index maps may not capture traced constants.
+_I0 = np.int32(0)
 
 
 def _kernel(m_ref, r_ref, y_ref, acc_ref):
@@ -65,15 +87,16 @@ def fused_spd_apply(m: jax.Array, r: jax.Array, interpret: bool = False) -> jax.
     over ``m``. ``n_pad`` must be a multiple of 128 (see ``pad_factor``)."""
     n_pad = m.shape[0]
     assert m.shape == (n_pad, n_pad) and n_pad % _LANE == 0
-    grid = n_pad // _BLOCK
+    block = _row_block(n_pad)
+    grid = n_pad // block
     y = pl.pallas_call(
         _kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((_BLOCK, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, n_pad), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad), lambda i: (_I0, _I0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, n_pad), lambda i: (_I0, _I0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), m.dtype),
         scratch_shapes=[pltpu.VMEM((1, n_pad), jnp.float32)],
         interpret=interpret,
@@ -96,3 +119,12 @@ def apply_padded(inv_l_padded: jax.Array, r: jax.Array, interpret: bool = False)
     n_pad = inv_l_padded.shape[0]
     rp = r if n == n_pad else jnp.pad(r, (0, n_pad - n))
     return fused_spd_apply(inv_l_padded, rp, interpret=interpret)[:n]
+
+
+def probe() -> None:
+    """Tiny real (non-interpret) compile+run on the live backend — the
+    on-device Mosaic gate (ops/pallas_gate.py). Run under the SAME x64
+    setting as the solve that will use the kernel."""
+    m = jnp.eye(_LANE, dtype=jnp.float32)
+    r = jnp.ones((_LANE,), jnp.float32)
+    jax.block_until_ready(fused_spd_apply(m, r))

@@ -388,12 +388,26 @@ class SDPSolver:
         # minutes of device time, which remote-attached TPU runtimes kill
         # as a hung program (observed: quasar-500, chunk=100 x 2 solves x
         # up to 400 CG steps -> worker restart). Bound the chunk so one
-        # dispatch stays comfortably under such watchdogs.
-        chunk_cap = max_iter
-        if self.params.neq.mode == "cg" and jax.default_backend() in ("tpu", "axon"):
-            chunk_cap = max(1, min(cfg.check_every, 2000 // max(self.params.neq.cg_max_iter, 1)))
+        # dispatch stays comfortably under such watchdogs. Recomputed every
+        # chunk because recovery level 2 swaps the normal solver to CG
+        # mid-run (ADVICE r3: a once-computed cap would leave CG chunks at
+        # check_every size -- exactly the watchdog-kill this guards).
+        def chunk_cap():
+            neq = self.params.neq
+            if neq.mode == "cg" and jax.default_backend() in ("tpu", "axon"):
+                return max(1, min(cfg.check_every, 2000 // max(neq.cg_max_iter, 1)))
+            return max_iter
+
+        # After a divergence recovery the step runs the exact eigh
+        # projection for a probation window, then the calibrated projection
+        # is restored (VERDICT r3: swapping it in forever silently changes
+        # the perf profile for the rest of a 100k-iteration solve).
+        eigh_until = -1
         while it_done < max_iter and not converged:
-            chunk = min(cfg.check_every, chunk_cap, max_iter - it_done)
+            if eigh_until >= 0 and it_done >= eigh_until:
+                step = mk_step(self._projection)
+                eigh_until = -1
+            chunk = min(cfg.check_every, chunk_cap(), max_iter - it_done)
             runner = self._runner(step, chunk, stop_tol)
             # Profile one steady-state chunk (the second: the first chunk
             # pays compilation) -- the counterpart of the reference's
@@ -440,6 +454,9 @@ class SDPSolver:
                         )
                     state = self._recovery_restart(state, recoveries)
                     step = mk_step("eigh")
+                    # Probation: exact projection for 5 checks, then restore
+                    # the calibrated projection (see eigh_until above).
+                    eigh_until = it_done + 5 * cfg.check_every
                     continue
                 diverged = True
                 break
