@@ -88,6 +88,11 @@ class NormalEqSolver:
     # pool-length intermediate -- at quasar-500 scale that skips a 4M-slot
     # f64 scatter+gather per step. None outside cg mode.
     aat_tbl: Optional[EllTable] = None
+    # cg: FSAI preconditioner factor G ~ inv(chol(AA^T)) and its transpose
+    # as matvec tables; application is z = G^T (G r) (ops/fsai.py). When
+    # present it supersedes the Jacobi/block-Jacobi pieces.
+    fsai_g: Optional[EllTable] = None
+    fsai_gt: Optional[EllTable] = None
     # precond/dense: refinement applications per solve.
     applies: int = 2
     # host: callable rhs(np) -> y(np)
@@ -163,8 +168,7 @@ class NormalEqSolver:
             y = _pcg(
                 self._op(),
                 rhs.astype(hp),
-                self.inv_diag,
-                self.bj_inv,
+                self._precond(hp),
                 jnp.zeros(rhs.shape, hp) if warm is None else warm.astype(hp),
                 self.cg_tol,
                 self.cg_max_iter,
@@ -190,6 +194,38 @@ class NormalEqSolver:
         sa = self.sparse_a
         return lambda v: _aat_matvec(sa, v)
 
+    def _precond(self, hp):
+        """CG preconditioner application z = M^{-1} r.
+
+        FSAI when built (two sparse matvecs, ops/fsai.py); else Jacobi
+        with the dense block-Jacobi prefix overriding the leading rows
+        (see _block_jacobi_inv for why the prefix)."""
+        if self.fsai_g is not None:
+            g, gt = self.fsai_g, self.fsai_gt
+            return lambda r: _ell_matvec(gt, _ell_matvec(g, r).astype(hp)).astype(hp)
+        inv_diag, bj_inv = self.inv_diag, self.bj_inv
+
+        def apply_m(r):
+            # The dense apply runs in the factor's own f32 (a
+            # preconditioner does not need hp accuracy; casting bj_inv up
+            # would materialize an f64 copy every call).
+            z = r * inv_diag.astype(hp)
+            if bj_inv is not None:
+                nd, bs = bj_inv.shape[0], bj_inv.shape[-1]
+                head = jnp.pad(r, (0, max(0, nd * bs - r.shape[0])))[
+                    : nd * bs
+                ].reshape(nd, bs)
+                zh = jnp.einsum(
+                    "bij,bj->bi",
+                    bj_inv,
+                    head.astype(bj_inv.dtype),
+                    precision=jax.lax.Precision.HIGHEST,
+                ).reshape(-1)[: min(nd * bs, r.shape[0])].astype(hp)
+                z = z.at[: zh.shape[0]].set(zh)
+            return z
+
+        return apply_m
+
     def residual_norm(self, rhs: jax.Array, y: jax.Array) -> jax.Array:
         """|| rhs - AA^T y || / || rhs || (diagnostics / regression tests)."""
         hp = _hp_dtype()
@@ -200,7 +236,16 @@ class NormalEqSolver:
 
 jax.tree_util.register_dataclass(
     NormalEqSolver,
-    data_fields=["chol_l", "inv_diag", "bj_inv", "sparse_a", "inv_l", "aat_tbl"],
+    data_fields=[
+        "chol_l",
+        "inv_diag",
+        "bj_inv",
+        "sparse_a",
+        "inv_l",
+        "aat_tbl",
+        "fsai_g",
+        "fsai_gt",
+    ],
     meta_fields=[
         "mode",
         "cg_tol",
@@ -217,36 +262,14 @@ def _aat_matvec(sa: SparseA, v: jax.Array) -> jax.Array:
     return aat_matvec(sa, v)
 
 
-def _pcg(op, rhs, inv_diag, bj_inv, x0, tol, max_iter):
+def _pcg(op, rhs, apply_m, x0, tol, max_iter):
     """Preconditioned CG on AA^T, fixed-shape while_loop (jit-safe).
 
-    Preconditioner: block-Jacobi when ``bj_inv`` is given, else Jacobi.
-    Early exit on the relative residual (reference capability bar:
-    cholesky_cpu.h exact solves; CG is the large-con_num stand-in)."""
+    ``apply_m`` is the preconditioner application (NormalEqSolver._precond:
+    FSAI or Jacobi/block-Jacobi). Early exit on the relative residual
+    (reference capability bar: cholesky_cpu.h exact solves; CG is the
+    large-con_num stand-in)."""
     hp = rhs.dtype
-
-    def apply_m(r):
-        # Jacobi everywhere, with the dense block inverses overriding the
-        # leading ``bj_rows`` rows (the dense prefix; rows past it have an
-        # exactly-diagonal AA^T block -- e.g. QUASAR's mutually-orthogonal
-        # antisymmetry constraints -- so storing 2048^2 identities for
-        # them would be pure HBM waste). The dense apply runs in the
-        # factor's own f32 (a preconditioner does not need hp accuracy;
-        # casting bj_inv up would materialize an f64 copy every call).
-        z = r * inv_diag.astype(hp)
-        if bj_inv is not None:
-            nd, bs = bj_inv.shape[0], bj_inv.shape[-1]
-            head = jnp.pad(r, (0, max(0, nd * bs - r.shape[0])))[: nd * bs].reshape(
-                nd, bs
-            )
-            zh = jnp.einsum(
-                "bij,bj->bi",
-                bj_inv,
-                head.astype(bj_inv.dtype),
-                precision=jax.lax.Precision.HIGHEST,
-            ).reshape(-1)[: min(nd * bs, r.shape[0])].astype(hp)
-            z = z.at[: zh.shape[0]].set(zh)
-        return z
 
     rhs_nsq = jnp.dot(rhs, rhs)
 
@@ -520,6 +543,9 @@ def build_normal_solver(
     applies: int = 2,
     cg_block_jacobi: int = 2048,
     sparse_a_hp: Optional[SparseA] = None,
+    cg_precond: str = "auto",
+    fsai_cap: int = 64,
+    fsai_pattern_power: int = 2,
 ) -> NormalEqSolver:
     """Factorize once at init (reference: src/solver.cu:91-96) and return a
     device-resident solver.
@@ -610,7 +636,32 @@ def build_normal_solver(
     if mode == "cg":
         aat = build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
         bj = None
-        if cg_block_jacobi and con_num > cg_block_jacobi:
+        fsai_g = fsai_gt = None
+        if cg_precond in ("auto", "fsai"):
+            # FSAI: measured 3.5-5.6x fewer CG iterations than Jacobi /
+            # block-Jacobi on PlanarHand N=1 (see ops/fsai.py docstring),
+            # applied as two sparse matvecs -- the TPU-native stand-in for
+            # the reference's CHOLMOD triangular solves.
+            from cuadmm_tpu.ops.fsai import build_fsai, fsai_tables
+
+            try:
+                G = build_fsai(
+                    aat,
+                    eps_rel=max(eps, 1e-10),
+                    pattern_power=fsai_pattern_power,
+                    cap=fsai_cap,
+                )
+                fsai_g, fsai_gt = fsai_tables(G, _hp_dtype())
+            except Exception:
+                if cg_precond == "fsai":
+                    raise
+                fsai_g = fsai_gt = None  # auto: fall through to block-Jacobi
+        if (
+            fsai_g is None
+            and cg_precond != "jacobi"
+            and cg_block_jacobi
+            and con_num > cg_block_jacobi
+        ):
             bj = _block_jacobi_inv(
                 aat, con_num, cg_block_jacobi, max(eps, 1e-10), jnp.float32
             )
@@ -642,6 +693,8 @@ def build_normal_solver(
             cg_tol=cg_tol,
             cg_max_iter=cg_max_iter,
             aat_tbl=aat_tbl,
+            fsai_g=fsai_g,
+            fsai_gt=fsai_gt,
         )
 
     if mode == "host":

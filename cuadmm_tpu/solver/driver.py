@@ -180,6 +180,9 @@ class SDPSolver:
             applies=cfg.precond_applies,
             cg_block_jacobi=cfg.cg_block_jacobi,
             sparse_a_hp=sa_hp,
+            cg_precond=cfg.cg_precond,
+            fsai_cap=cfg.fsai_cap,
+            fsai_pattern_power=cfg.fsai_pattern_power,
         )
         maps = device_maps(self.structure, self.dtype)
         self._maps = maps
@@ -300,6 +303,9 @@ class SDPSolver:
                 cg_max_iter=max(cfg.cg_max_iter, 800),
                 cg_block_jacobi=cfg.cg_block_jacobi,
                 sparse_a_hp=self._sa_hp,
+                cg_precond=cfg.cg_precond,
+                fsai_cap=cfg.fsai_cap,
+                fsai_pattern_power=cfg.fsai_pattern_power,
             )
         self.params = dataclasses.replace(self.params, neq=neq)
 
