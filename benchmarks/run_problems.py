@@ -39,7 +39,15 @@ PROBLEMS = {
     # the committed At.txt, tests/test_importers.py).
     "1dc.1024": ("admm_mat", f"{REF}/plato/MATLAB/1dc.1024.mat",
                  {"ref_total_s": 22.1, "ref_s_per_iter": 0.0624, "ref_pobj": -97.1043558}),
-    "biggs": ("txt", f"{REF}/plato/TXT/biggs", {}),
+    # biggs: no reference log or benchmarks.csv row exists. Diagnosis
+    # (r4, CPU f64, 4 configs x 20k iters): pure-sGS drives errRp to
+    # 1.6e-9 while pobj falls to -1.2e9 with relgap ~ 1 -- the instance
+    # behaves primal-unbounded / dual-infeasible for this ADMM family
+    # (sigma slams into sig_max, dual residual stalls at 0.48). The
+    # reference publishes no number for it either; kept in the table as a
+    # documented non-convergent instance.
+    "biggs": ("txt", f"{REF}/plato/TXT/biggs", {"ref_converged": False,
+               "note": "primal-unbounded behavior; no reference result exists"}),
     # NB: plato/TXT/chs5000 and taha1a in the reference tree are incomplete
     # (no At.txt), so they cannot be loaded despite having benchmarks.csv rows.
     "pusht_n10": (

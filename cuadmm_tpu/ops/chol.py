@@ -70,6 +70,11 @@ def _hp_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+# Per-stage wall-clock of the last build_normal_solver call (diagnostics;
+# surfaced through SDPSolver.init_breakdown).
+LAST_BUILD_TIMINGS: dict = {}
+
+
 @dataclasses.dataclass
 class NormalEqSolver:
     mode: str
@@ -164,7 +169,13 @@ class NormalEqSolver:
                 y = y + self._apply_factor(r).astype(hp)
             return y.astype(rhs.dtype)
         if self.mode == "cg":
-            hp = _hp_dtype()
+            # CG runs in the dtype its tables were built in: f32 on
+            # accelerators with f32 state (TPU f64 is software-emulated;
+            # measured 21 s per PlanarHand N=1 solve in f64 -- the round-3
+            # "worker crashed" runs were watchdog kills of such chunks),
+            # f64 elsewhere. FSAI preconditioning keeps f32 CG's residual
+            # floor (~1e-7 relative) at the f32 state's own signal level.
+            hp = self.aat_tbl.vals[0].dtype if self.aat_tbl is not None else _hp_dtype()
             y = _pcg(
                 self._op(),
                 rhs.astype(hp),
@@ -227,9 +238,16 @@ class NormalEqSolver:
         return apply_m
 
     def residual_norm(self, rhs: jax.Array, y: jax.Array) -> jax.Array:
-        """|| rhs - AA^T y || / || rhs || (diagnostics / regression tests)."""
+        """|| rhs - AA^T y || / || rhs || (diagnostics / regression tests).
+
+        Prefers the high-precision sparse A (f64 when x64 is on) over the
+        CG tables, which may be f32 on accelerators -- diagnostics must
+        not inherit the solve path's own rounding floor."""
         hp = _hp_dtype()
-        op = self._op()
+        if self.sparse_a is not None:
+            op = lambda v: _aat_matvec(self.sparse_a, v)
+        else:
+            op = self._op()
         r = rhs.astype(hp) - op(y.astype(hp)).astype(hp)
         return jnp.linalg.norm(r) / jnp.linalg.norm(rhs.astype(hp))
 
@@ -582,9 +600,22 @@ def build_normal_solver(
         # with f32 state the rhs itself only carries ~1e-7 of signal, and
         # chasing 64*eps64 = 1.4e-14 burns cg_max_iter matvecs every solve.
         if jnp.dtype(dtype) == jnp.float32:
-            cg_tol = 1e-7
+            # 2e-7: just above the f32 CG arithmetic floor, so the loop
+            # exits on tolerance instead of burning cg_max_iter matvecs
+            # chasing a residual f32 cannot represent.
+            cg_tol = 2e-7
         else:
             cg_tol = 64.0 * float(jnp.finfo(_hp_dtype()).eps)
+
+    import time as _time
+
+    LAST_BUILD_TIMINGS.clear()
+    _t = [_time.perf_counter()]
+
+    def _mark(name):
+        now = _time.perf_counter()
+        LAST_BUILD_TIMINGS[name] = round(now - _t[0], 3)
+        _t[0] = now
 
     if mode in ("precond", "dense"):
         if mode == "precond":
@@ -605,6 +636,8 @@ def build_normal_solver(
         l, eps_used = _device_factorize(
             at_svec_idx, at_con_idx, vals, con_num, vec_len, fac_dtype, eps0
         )
+        jax.block_until_ready(l)
+        _mark("factorize")
         inv_l = None
         refine = "float64" if jax.config.jax_enable_x64 else "float32"
         refine_sa = sa_hp
@@ -612,6 +645,8 @@ def build_normal_solver(
             from cuadmm_tpu.ops.precond_apply import pad_factor
 
             inv_l = pad_factor(_tri_inv(l))
+            jax.block_until_ready(inv_l)
+            _mark("tri_inv")
             l = None  # the factor is no longer needed; free ~n^2 HBM
             if jnp.dtype(dtype) == jnp.float32:
                 refine = "float32"
@@ -631,10 +666,20 @@ def build_normal_solver(
         )
         if applies <= 0:
             neq = _calibrate_applies(neq, con_num)
+        _mark("calibrate")
         return neq
 
     if mode == "cg":
         aat = build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
+        # CG arithmetic dtype: always the high-precision dtype. An f32 CG
+        # was tried (r4) and is BOTH numerically broken with FSAI's ~1e8
+        # dynamic range on singular moment-SDP AA^T (measured relative
+        # residual 30 on PlanarHand N=1 vs 9e-8 in f64) AND barely faster:
+        # ELL matvecs at this scale are pure gather cost (~7 cycles per
+        # element on v5e -- measured 19.6 ms for 2.7M padded nnz), which
+        # dtype does not change. Large-con_num problems should use the
+        # packed triangular factor path instead (ops/tri_stream.py).
+        cg_dtype = _hp_dtype()
         bj = None
         fsai_g = fsai_gt = None
         if cg_precond in ("auto", "fsai"):
@@ -651,7 +696,7 @@ def build_normal_solver(
                     pattern_power=fsai_pattern_power,
                     cap=fsai_cap,
                 )
-                fsai_g, fsai_gt = fsai_tables(G, _hp_dtype())
+                fsai_g, fsai_gt = fsai_tables(G, cg_dtype)
             except Exception:
                 if cg_precond == "fsai":
                     raise
@@ -673,7 +718,7 @@ def build_normal_solver(
         diag = aat.diagonal()
         scale = max(float(diag.mean()), 1e-30)
         d = np.where(diag > 1e-12 * scale, diag, scale)
-        inv_diag = jnp.asarray(1.0 / d, _hp_dtype())
+        inv_diag = jnp.asarray(1.0 / d, cg_dtype)
         # Explicit AA^T matvec table (see NormalEqSolver.aat_tbl).
         coo = aat.tocoo()
         aat_tbl = _build_ell(
@@ -682,7 +727,7 @@ def build_normal_solver(
             coo.data,
             con_num,
             con_num,
-            _hp_dtype(),
+            cg_dtype,
         )
         return NormalEqSolver(
             mode="cg",
