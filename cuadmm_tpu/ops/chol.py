@@ -74,6 +74,11 @@ def _hp_dtype():
 # surfaced through SDPSolver.init_breakdown).
 LAST_BUILD_TIMINGS: dict = {}
 
+# Largest con_num routed to the packed triangular factor in auto mode:
+# packed f32 bytes ~ 2*n_pad^2; 73k -> ~10.7 GB, leaving ~5 GB of a 16 GB
+# chip for solver state + projection pool.
+PACKED_MAX_CON = 73_000
+
 
 @dataclasses.dataclass
 class NormalEqSolver:
@@ -98,6 +103,12 @@ class NormalEqSolver:
     # present it supersedes the Jacobi/block-Jacobi pieces.
     fsai_g: Optional[EllTable] = None
     fsai_gt: Optional[EllTable] = None
+    # packed: block-triangular Cholesky factor in packed-tile storage with
+    # inverted diagonal tiles, applied by Pallas streaming forward/backward
+    # substitution (ops/tri_stream.py). Covers con_num past the square
+    # dense-factor HBM ceiling (~45k f32 on a 16 GB chip).
+    packed_tiles: Optional[jax.Array] = None
+    packed_layout: Optional[tuple] = None
     # precond/dense: refinement applications per solve.
     applies: int = 2
     # host: callable rhs(np) -> y(np)
@@ -124,7 +135,20 @@ class NormalEqSolver:
         sqrt(cond(P))*eps32 ~ 3e-4 at cond(P)~1e7, and the refinement loop
         in ``solve`` contracts against the exact AA^T regardless. (A full
         explicit inverse of P is NOT: its error scales as cond(P)*eps32
-        ~ 1 -- the round-1 failure mode.)"""
+        ~ 1 -- the round-1 failure mode.)
+
+        Packed mode: two Pallas streaming sweeps over the packed
+        block-triangular factor (ops/tri_stream.py) -- the only layout
+        that fits past ~45k constraints on a 16 GB chip."""
+        if self.packed_tiles is not None:
+            from cuadmm_tpu.ops.tri_stream import PackedLayout, packed_solve
+
+            lay = PackedLayout(*self.packed_layout)
+            interp = jax.default_backend() not in ("tpu", "axon")
+            return packed_solve(
+                self.packed_tiles, r.astype(self.packed_tiles.dtype), lay,
+                interpret=interp,
+            ).astype(r.dtype)
         if self.inv_l is not None:
             # The stored factor is lane-padded (pad_factor). On TPU the
             # fused Pallas kernel streams it from HBM once per application
@@ -157,7 +181,7 @@ class NormalEqSolver:
         ).astype(r.dtype)
 
     def solve(self, rhs: jax.Array, warm: Optional[jax.Array] = None) -> jax.Array:
-        if self.mode in ("precond", "dense"):
+        if self.mode in ("precond", "dense", "packed"):
             hp = jnp.dtype(self.refine_dtype)
             rhs_hp = rhs.astype(hp)
             y = jnp.zeros_like(rhs_hp) if warm is None else warm.astype(hp)
@@ -263,6 +287,7 @@ jax.tree_util.register_dataclass(
         "aat_tbl",
         "fsai_g",
         "fsai_gt",
+        "packed_tiles",
     ],
     meta_fields=[
         "mode",
@@ -272,6 +297,7 @@ jax.tree_util.register_dataclass(
         "host_solve",
         "eps_used",
         "refine_dtype",
+        "packed_layout",
     ],
 )
 
@@ -588,6 +614,11 @@ def build_normal_solver(
             # (handles the singular AA^T of moment SDPs; f64 Cholesky is
             # software-emulated on TPU); true f64 Cholesky on CPU.
             mode = "precond" if (on_accel or jnp.dtype(dtype) == jnp.float32) else "dense"
+        elif on_accel and con_num <= PACKED_MAX_CON:
+            # Past the square-factor ceiling but the packed triangular
+            # factor (half the bytes) still fits HBM: streaming-TRSM mode
+            # (ops/tri_stream.py). Beyond ~70k constraints fall to CG.
+            mode = "packed"
         else:
             mode = "cg"
         if not on_accel:
@@ -668,6 +699,63 @@ def build_normal_solver(
             neq = _calibrate_applies(neq, con_num)
         _mark("calibrate")
         return neq
+
+    if mode == "packed":
+        from cuadmm_tpu.ops import pallas_gate, tri_stream
+
+        if on_accel and not pallas_gate.ok("packed_solve", tri_stream.probe):
+            # Mosaic rejected the streaming-solve kernels on this chip;
+            # degrade to CG rather than crash (round-3 lesson).
+            mode = "cg"
+        else:
+            block = 1024 if con_num > 2048 else 256
+            lay = tri_stream.make_layout(con_num, block)
+            aat = build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
+            coo = aat.tocoo()
+            diag_mean = float(aat.diagonal().mean())
+            eps0 = max(precond_eps, 1e-5)
+            fac_dtype = jnp.float32 if on_accel else (
+                jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            )
+            cur = eps0
+            while True:
+                tiles = tri_stream.scatter_packed_aat(
+                    coo.row.astype(np.int64), coo.col.astype(np.int64), coo.data,
+                    lay, cur, diag_mean, fac_dtype,
+                )
+                tiles = tri_stream.packed_cholesky(tiles, lay)
+                last_diag = tiles[tri_stream.tid(lay.nb - 1, lay.nb - 1), -1, -1]
+                if bool(jnp.isfinite(last_diag)):
+                    break
+                cur *= 10.0
+                if cur > 1e-1:
+                    raise RuntimeError(
+                        "packed AA^T Cholesky failed even with jitter 1e-1"
+                    )
+            _mark("packed_factorize")
+            refine = "float64" if jax.config.jax_enable_x64 else "float32"
+            refine_sa = sa_hp
+            if on_accel and jnp.dtype(dtype) == jnp.float32:
+                refine = "float32"
+                refine_sa = sparse_a
+            neq = NormalEqSolver(
+                mode="packed",
+                chol_l=None,
+                inv_diag=None,
+                bj_inv=None,
+                sparse_a=refine_sa,
+                cg_tol=cg_tol,
+                cg_max_iter=cg_max_iter,
+                applies=max(applies, 1),
+                eps_used=cur,
+                packed_tiles=tiles,
+                packed_layout=tuple(lay),
+                refine_dtype=refine,
+            )
+            if applies <= 0:
+                neq = _calibrate_applies(neq, con_num)
+            _mark("calibrate")
+            return neq
 
     if mode == "cg":
         aat = build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)

@@ -1,0 +1,103 @@
+"""Packed block-triangular Cholesky + streaming solves (ops/tri_stream.py).
+
+The large-con_num normal-equation path (the role CHOLMOD plays in the
+reference, cholesky_cpu.h:62-155). CPU tests run the Pallas kernels in
+interpret mode; the real-Mosaic compile gate lives in tests_tpu/.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from cuadmm_tpu.ops.tri_stream import (
+    make_layout,
+    packed_cholesky,
+    packed_solve,
+    probe,
+    scatter_packed_aat,
+    tid,
+)
+
+
+def _random_aat(n, density=0.05, seed=1):
+    A = sp.random(n, 2 * n, density=density, random_state=seed, format="csr")
+    aat = (A @ A.T).tocsr()
+    return aat
+
+
+@pytest.mark.parametrize("n,block", [(300, 64), (500, 128), (120, 128)])
+def test_packed_cholesky_matches_dense(n, block):
+    aat = _random_aat(n)
+    lay = make_layout(n, block)
+    dm = float(aat.diagonal().mean())
+    coo = aat.tocoo()
+    tiles = scatter_packed_aat(
+        coo.row.astype(np.int64), coo.col.astype(np.int64), coo.data,
+        lay, 1e-6, dm, jnp.float64,
+    )
+    fac = np.asarray(packed_cholesky(tiles, lay))
+    # Rebuild dense L (un-invert the diagonal tiles).
+    B = block
+    L = np.zeros((lay.n_pad, lay.n_pad))
+    for i in range(lay.nb):
+        for j in range(i + 1):
+            blk = fac[tid(i, j)]
+            if i == j:
+                blk = np.linalg.inv(blk)
+            L[i * B : (i + 1) * B, j * B : (j + 1) * B] = blk
+    ref = np.asarray(aat.todense()) + 1e-6 * max(dm, 1.0) * np.eye(n)
+    refp = np.pad(ref, ((0, lay.n_pad - n), (0, lay.n_pad - n)))
+    refp += np.diag(np.r_[np.zeros(n), np.ones(lay.n_pad - n)])
+    Lref = np.linalg.cholesky(refp)
+    assert np.linalg.norm(np.tril(L) - Lref) / np.linalg.norm(Lref) < 1e-10
+
+
+def test_packed_solve_interpret():
+    n, block = 300, 64
+    aat = _random_aat(n)
+    lay = make_layout(n, block)
+    dm = float(aat.diagonal().mean())
+    coo = aat.tocoo()
+    tiles = scatter_packed_aat(
+        coo.row.astype(np.int64), coo.col.astype(np.int64), coo.data,
+        lay, 1e-6, dm, jnp.float64,
+    )
+    fac = packed_cholesky(tiles, lay)
+    rng = np.random.default_rng(0)
+    r = rng.standard_normal(n)
+    y = packed_solve(fac, jnp.asarray(r), lay, interpret=True)
+    ref = np.linalg.solve(
+        np.asarray(aat.todense()) + 1e-6 * max(dm, 1.0) * np.eye(n), r
+    )
+    assert np.linalg.norm(np.asarray(y) - ref) / np.linalg.norm(ref) < 1e-10
+
+
+def test_probe_interpret():
+    probe(interpret=True)
+
+
+def test_packed_mode_normal_solver():
+    """build_normal_solver mode='packed': consistent-rhs solve with
+    refinement reaches f64-refinement accuracy on a singular AA^T."""
+    from cuadmm_tpu.ops import chol as chol_ops
+    from cuadmm_tpu.ops import sparse as sparse_ops
+
+    rng = np.random.default_rng(5)
+    vec_len, con = 300, 120
+    # rank-deficient A (some duplicate rows) -> singular AA^T
+    A = sp.random(con - 20, vec_len, density=0.1, random_state=2, format="csr")
+    A = sp.vstack([A, A[:20]]).tocsr()
+    coo = A.tocoo()
+    r, c, v = coo.col.astype(np.int64), coo.row.astype(np.int64), coo.data
+    sa = sparse_ops.build_sparse_a(r, c, v, con, vec_len, jnp.float64)
+    neq = chol_ops.build_normal_solver(
+        r, c, v, con, vec_len, sa, "packed", jnp.float64, applies=0
+    )
+    assert neq.mode == "packed" and neq.packed_tiles is not None
+    rhs = jnp.asarray(A @ rng.standard_normal(vec_len))  # consistent
+    y = jax.jit(neq.solve)(rhs)
+    res = float(neq.residual_norm(rhs, y))
+    assert res < 1e-8, res

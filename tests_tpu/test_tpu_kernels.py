@@ -54,6 +54,41 @@ def test_pallas_gate_reports_ok(tpu):
     assert pallas_gate.ok("jacobi_eigh_pallas", _probe_pallas)
 
 
+def test_packed_tri_solve_mosaic(tpu):
+    """ops/tri_stream.py streaming solves compile under Mosaic (x64 on)
+    and solve a 3-block system to f32 accuracy."""
+    import scipy.sparse as sp
+
+    from cuadmm_tpu.ops.tri_stream import (
+        make_layout,
+        packed_cholesky,
+        packed_solve,
+        probe,
+        scatter_packed_aat,
+    )
+
+    probe()  # hand-built 2-block factor through both kernels
+
+    rng = np.random.default_rng(0)
+    n = 300
+    A = sp.random(n, 2 * n, density=0.05, random_state=1, format="csr")
+    aat = (A @ A.T).tocsr()
+    dm = float(aat.diagonal().mean())
+    lay = make_layout(n, 128)
+    coo = aat.tocoo()
+    tiles = scatter_packed_aat(
+        coo.row.astype(np.int64), coo.col.astype(np.int64), coo.data,
+        lay, 1e-5, dm, jnp.float32,
+    )
+    fac = packed_cholesky(tiles, lay)
+    r = rng.standard_normal(n).astype(np.float32)
+    y = packed_solve(fac, jnp.asarray(r), lay)
+    ref = np.linalg.solve(
+        np.asarray(aat.todense()) + 1e-5 * max(dm, 1.0) * np.eye(n), r
+    )
+    assert np.linalg.norm(np.asarray(y) - ref) / np.linalg.norm(ref) < 1e-4
+
+
 def test_matmul_precision_canary(tpu):
     """HIGHEST-precision f32 GEMM must be ~1e-7 accurate (6-pass bf16);
     a regression here silently poisons the factor + projection."""
