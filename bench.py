@@ -106,6 +106,9 @@ def on_chip_diagnostics(solver) -> dict:
             abs(float(jax.jit(jnp.sum)(v)) - 1e-14) / 1e-14
         )
 
+    # The projection actually dispatched (a per-bucket dict when the
+    # committed TPU calibration table engaged -- the is_large_mat analog).
+    diag["projection"] = str(solver._projection)
     neq = solver.params.neq
     diag["neq_mode"] = neq.mode
     diag["neq_eps_used"] = neq.eps_used
@@ -151,8 +154,12 @@ def main() -> None:
         stop_tol=0.0,
         **extra,
     )
+    t0 = time.perf_counter()
     solver = SDPSolver(prob, cfg)
+    init_s = time.perf_counter() - t0
     diag = on_chip_diagnostics(solver)
+    diag["init_s"] = round(init_s, 2)
+    diag["init_breakdown"] = solver.init_breakdown
 
     # Warmup: compile + a few chunks.
     t0 = time.perf_counter()

@@ -234,12 +234,28 @@ def packed_cholesky(tiles: jax.Array, lay: PackedLayout, update_chunk: int = 64)
 # ----------------------------------------------------------------------
 
 
+def _mv_lanes(tile, v_row):
+    """(1,B) row of (tile @ v): out[a] = sum_b tile[a,b] v[b].
+
+    Elementwise multiply + lane reduction on the VPU in FULL f32. The MXU
+    alternative at HIGHEST precision is 6 bf16 passes per tile and turns
+    this bandwidth-shaped kernel compute-bound (measured 51 ms/solve at
+    n=66k vs the ~21 ms DMA floor); plain MXU f32 is bf16-inaccurate."""
+    return jnp.sum(tile * v_row, axis=1)[None, :]
+
+
+def _mv_sublanes(tile, v_row):
+    """(1,B) row of (tile^T @ v): out[b] = sum_a v[a] tile[a,b].
+    Multiply rows by scalars, reduce over sublanes (cheapest on TPU)."""
+    return jnp.sum(tile * v_row.reshape(-1, 1), axis=0)[None, :]
+
+
 def _fwd_kernel(row_ref, col_ref, r_ref, tile_ref, x_ref, acc_ref):
     """Forward solve L x = r over row-major packed tiles.
 
     Diagonal tiles hold inv(L_kk): at (i, i) the row's accumulated
     residual is multiplied by it and written to x. All vectors are (1, n)
-    rows in VMEM; per-tile work is one (1,B)x(B,B) MXU matvec."""
+    rows in VMEM; per-tile work is one (B,B) VPU multiply+reduce."""
     g = pl.program_id(0)
     i = row_ref[g]
     j = col_ref[g]
@@ -253,20 +269,12 @@ def _fwd_kernel(row_ref, col_ref, r_ref, tile_ref, x_ref, acc_ref):
     @pl.when(j < i)
     def _sub():
         xj = x_ref[:, pl.ds(j * B, B)]
-        # (L_ij @ x_j)^T = x_j^T contracted with tile's 2nd index.
-        acc_ref[...] -= jax.lax.dot_general(
-            xj, tile, (((1,), (1,)), ((), ())), preferred_element_type=acc_ref.dtype,
-            precision=jax.lax.Precision.HIGHEST
-        )
+        acc_ref[...] -= _mv_lanes(tile, xj)
 
     @pl.when(j == i)
     def _diag():
         # x_i = inv(L_ii) @ acc  (tile IS inv(L_ii))
-        x_ref[:, pl.ds(i * B, B)] = jax.lax.dot_general(
-            acc_ref[...], tile, (((1,), (1,)), ((), ())),
-            preferred_element_type=acc_ref.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        x_ref[:, pl.ds(i * B, B)] = _mv_lanes(tile, acc_ref[...])
 
 
 def _bwd_kernel(order_ref, row_ref, col_ref, first_ref, t_ref, tile_ref, y_ref, acc_ref):
@@ -288,20 +296,13 @@ def _bwd_kernel(order_ref, row_ref, col_ref, first_ref, t_ref, tile_ref, y_ref, 
     @pl.when(j > i)
     def _sub():
         yj = y_ref[:, pl.ds(j * B, B)]
-        # (L_ji^T y_j)^T = y_j^T contracted with tile's 1st index.
-        acc_ref[...] -= jax.lax.dot_general(
-            yj, tile, (((1,), (0,)), ((), ())), preferred_element_type=acc_ref.dtype,
-            precision=jax.lax.Precision.HIGHEST
-        )
+        # (L_ji^T y_j): contraction over the tile's first index.
+        acc_ref[...] -= _mv_sublanes(tile, yj)
 
     @pl.when(j == i)
     def _diag():
         # y_i = inv(L_ii)^T @ acc  (tile IS inv(L_ii))
-        y_ref[:, pl.ds(i * B, B)] = jax.lax.dot_general(
-            acc_ref[...], tile, (((1,), (0,)), ((), ())),
-            preferred_element_type=acc_ref.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        y_ref[:, pl.ds(i * B, B)] = _mv_sublanes(tile, acc_ref[...])
 
 
 def _fwd_meta(lay: PackedLayout):

@@ -304,7 +304,7 @@ class SDPSolver:
         cfg, prob = self.config, self.problem
         neq = self.params.neq
         if level == 1:
-            if neq.mode in ("precond", "dense"):
+            if neq.mode in ("precond", "dense", "packed"):
                 neq = dataclasses.replace(neq, applies=neq.applies + 2)
         else:
             rows, cols, vals = self._at_triplets
