@@ -373,9 +373,9 @@ def _device_factorize(
         # (dense A here, or the factor itself) can segfault. Route oversize
         # builds through the host sparse product instead.
         dense_a_build_limit = min(dense_a_build_limit, 2**31 - 1)
-    rows = jnp.asarray(at_con_idx, jnp.int32)
-    cols = jnp.asarray(at_svec_idx, jnp.int32)
-    v = jnp.asarray(vals, dtype)
+    rows = jnp.asarray(np.asarray(at_con_idx, np.int32))
+    cols = jnp.asarray(np.asarray(at_svec_idx, np.int32))
+    v = jnp.asarray(np.asarray(vals, dtype=np.dtype(dtype)))
 
     # NB: the HIGHEST-precision context must wrap *tracing*, not just the
     # call: jnp.linalg.cholesky's blocked rank-k updates and the TRSMs pick
@@ -399,7 +399,7 @@ def _device_factorize(
         make = lambda e: fac(rows, cols, v, jnp.asarray(e, dtype))
     else:
         aat_host = build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
-        aat_dev = jnp.asarray(np.asarray(aat_host.todense()), dtype)
+        aat_dev = jnp.asarray(np.asarray(aat_host.todense(), dtype=np.dtype(dtype)))
         tr = float(max(aat_host.diagonal().sum() / con_num, 1.0))
 
         @jax.jit

@@ -146,16 +146,20 @@ def _build_ell(
         pos = np.concatenate([sel for sel, _ in out_pos_list]) if out_pos_list else np.zeros(0, np.int64)
         src = np.concatenate([p for _, p in out_pos_list]) if out_pos_list else np.zeros(0, np.int64)
         order2 = np.argsort(pos)
-        kw["out_pos"] = jnp.asarray(pos[order2], itype)
-        kw["out_src"] = jnp.asarray(src[order2], itype)
+        kw["out_pos"] = jnp.asarray(pos[order2].astype(np.dtype(itype)))
+        kw["out_src"] = jnp.asarray(src[order2].astype(np.dtype(itype)))
     else:
         out_perm = np.full(out_len, base, dtype=np.int64)  # sentinel = base
         for sel, pos in out_pos_list:
             out_perm[sel] = pos
-        kw["out_perm"] = jnp.asarray(out_perm, itype)
+        kw["out_perm"] = jnp.asarray(out_perm.astype(np.dtype(itype)))
     return EllTable(
-        idx=tuple(jnp.asarray(g, itype) for g in idx_list),
-        vals=tuple(jnp.asarray(v, dtype) for v in val_list),
+        # Dtype conversions happen in numpy BEFORE upload: jnp.asarray with
+        # a differing dtype dispatches a convert op per array, and on the
+        # tunneled TPU each such trivial compile costs seconds (r4: the
+        # dominant share of a 170 s PushT init stage).
+        idx=tuple(jnp.asarray(g.astype(np.dtype(itype))) for g in idx_list),
+        vals=tuple(jnp.asarray(v.astype(np.dtype(dtype))) for v in val_list),
         in_len=int(in_len),
         out_len=int(out_len),
         **kw,
@@ -227,7 +231,7 @@ def build_sparse_a_pool(
             p = np.searchsorted(out_pos, g)
             pc = np.minimum(p, len(out_pos) - 1) if len(out_pos) else p * 0
             hit = (p < len(out_pos)) & (out_pos[pc] == g) if len(out_pos) else np.zeros(g.shape, bool)
-            remapped.append(jnp.asarray(np.where(hit, out_src[pc], n_cat), itype))
+            remapped.append(jnp.asarray(np.where(hit, out_src[pc], n_cat).astype(np.dtype(itype))))
         a_idx_compact = tuple(remapped)
     return SparseA(
         a=a_tbl,
@@ -239,10 +243,16 @@ def build_sparse_a_pool(
 
 
 def cast_sparse_a(sa: SparseA, dtype) -> SparseA:
-    """Same index tables, values cast to ``dtype`` (cheap second precision
-    copy -- the builders' host-side row loops are the expensive part)."""
+    """Same index tables, values cast to ``dtype``.
+
+    The cast runs on the HOST (numpy) and re-uploads: a device-side
+    ``.astype`` per bucket compiles one trivial convert executable each,
+    and on the tunneled TPU platform every such cache-miss costs seconds
+    of remote-compile latency -- measured as the bulk of a 170 s init
+    stage on PushT (r4). Host cast + transfer is ~100 ms total."""
     cast_t = lambda t: dataclasses.replace(
-        t, vals=tuple(v.astype(dtype) for v in t.vals)
+        t,
+        vals=tuple(jnp.asarray(np.asarray(v).astype(dtype)) for v in t.vals),
     )
     return dataclasses.replace(sa, a=cast_t(sa.a), at=cast_t(sa.at))
 

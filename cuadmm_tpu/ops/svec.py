@@ -36,9 +36,9 @@ def device_maps(structure, dtype) -> Dict[str, Any]:
         buckets.append(
             dict(
                 gather_idx=jnp.asarray(bk.gather_idx),
-                gather_scale=jnp.asarray(bk.gather_scale, dtype=dtype),
+                gather_scale=jnp.asarray(np.asarray(bk.gather_scale, dtype=dtype)),
                 pool_pos=jnp.asarray(bk.pool_pos),
-                out_scale=jnp.asarray(bk.out_scale, dtype=dtype),
+                out_scale=jnp.asarray(np.asarray(bk.out_scale, dtype=dtype)),
                 # Pool layout: where this bucket's flattened tensor lives in
                 # the pool vector, and the 0/1 padding mask that keeps eigh
                 # round-off from leaking into padded positions.
@@ -56,7 +56,7 @@ def device_maps(structure, dtype) -> Dict[str, Any]:
                     np.where(bk.diag_blkid >= 0, bk.diag_blkid, bk.n_groups),
                     jnp.int32,
                 ),
-                pad_mask=jnp.asarray(bk.gather_scale != 0.0, dtype=dtype),
+                pad_mask=jnp.asarray(np.asarray(bk.gather_scale != 0.0, dtype=dtype)),
                 pool_pos_global=jnp.asarray(
                     bk.pool_pos + structure.bucket_base[bi]
                 ),

@@ -211,18 +211,23 @@ class SDPSolver:
         self._from_pool_fn = jax.jit(svec_from_pool)
         self._to_pool = lambda v: self._to_pool_fn(v, self._maps)
         self._from_pool = lambda p: self._from_pool_fn(p, self._maps)
+        # Host-side numpy casts before upload: jnp.asarray with a differing
+        # dtype dispatches one trivial convert compile per distinct shape,
+        # and the tunneled TPU's remote-compile service charges seconds
+        # for each (r4: the dominant share of a 170 s PushT init stage).
+        npc = lambda x: jnp.asarray(np.asarray(x, dtype=self.dtype))
         self.params = SolveParams(
             sparse_a=sa,
             maps=maps,
             neq=neq,
-            b=jnp.asarray(b_s, dtype=self.dtype),
-            C=self._to_pool(jnp.asarray(C_s, dtype=self.dtype)),
-            normA=jnp.asarray(normA, dtype=self.dtype),
-            bscale=jnp.asarray(sc.bscale, dtype=self.dtype),
-            Cscale=jnp.asarray(sc.Cscale, dtype=self.dtype),
-            objscale=jnp.asarray(sc.objscale, dtype=self.dtype),
-            norm_borg=jnp.asarray(sc.norm_borg, dtype=self.dtype),
-            norm_Corg=jnp.asarray(sc.norm_Corg, dtype=self.dtype),
+            b=npc(b_s),
+            C=self._to_pool(npc(C_s)),
+            normA=npc(normA),
+            bscale=npc(sc.bscale),
+            Cscale=npc(sc.Cscale),
+            objscale=npc(sc.objscale),
+            norm_borg=npc(sc.norm_borg),
+            norm_Corg=npc(sc.norm_Corg),
         )
         self._chunk_runners: Dict[int, Any] = {}
         mark("params")
@@ -251,7 +256,7 @@ class SDPSolver:
         dobj = float(b @ y_s * sc.objscale)
         relgap = abs(pobj - dobj) / (1.0 + abs(pobj) + abs(dobj))
         dt = self.dtype
-        dev = lambda x: jnp.asarray(x, dtype=dt)
+        dev = lambda x: jnp.asarray(np.asarray(x, dtype=dt))  # host-side cast (see _init)
         pool = lambda x: self._to_pool(dev(x))
         # NB: each zeros buffer must be a distinct array -- the chunk runner
         # donates the whole state, and XLA rejects donating one buffer twice.
