@@ -89,16 +89,20 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _build_ell(
+def _build_ell_host(
     rows: np.ndarray,
     cols: np.ndarray,
     vals: np.ndarray,
     out_len: int,
     in_len: int,
-    dtype,
     min_bucket_rows: int = 256,
-) -> EllTable:
-    """Bucketed ELL from COO (rows -> output axis, cols -> input axis)."""
+) -> dict:
+    """Bucketed ELL from COO, all-host (numpy) result.
+
+    Split from the upload so callers can (a) run index arithmetic on the
+    host copies (device->host fetches cost ~12 s/array through the
+    tunneled TPU -- the r4 init postmortem) and (b) upload values in
+    several dtypes while sharing one set of index buffers."""
     counts = np.bincount(rows, minlength=out_len)
     order = np.argsort(rows, kind="stable")
     rows_s, cols_s, vals_s = rows[order], cols[order], vals[order]
@@ -139,30 +143,63 @@ def _build_ell(
         out_pos_list.append((sel, base + np.arange(r)))
         base += r
 
-    itype = jnp.int32 if max(in_len, out_len, base + 1) < 2**31 - 1 else jnp.int64
+    itype = np.int32 if max(in_len, out_len, base + 1) < 2**31 - 1 else np.int64
     kw = dict(out_perm=None, out_pos=None, out_src=None)
     if 4 * len(nonempty) < out_len:
         # Mostly-zero output: compact scatter (sorted unique positions).
         pos = np.concatenate([sel for sel, _ in out_pos_list]) if out_pos_list else np.zeros(0, np.int64)
         src = np.concatenate([p for _, p in out_pos_list]) if out_pos_list else np.zeros(0, np.int64)
         order2 = np.argsort(pos)
-        kw["out_pos"] = jnp.asarray(pos[order2].astype(np.dtype(itype)))
-        kw["out_src"] = jnp.asarray(src[order2].astype(np.dtype(itype)))
+        kw["out_pos"] = pos[order2].astype(itype)
+        kw["out_src"] = src[order2].astype(itype)
     else:
         out_perm = np.full(out_len, base, dtype=np.int64)  # sentinel = base
         for sel, pos in out_pos_list:
             out_perm[sel] = pos
-        kw["out_perm"] = jnp.asarray(out_perm.astype(np.dtype(itype)))
-    return EllTable(
-        # Dtype conversions happen in numpy BEFORE upload: jnp.asarray with
-        # a differing dtype dispatches a convert op per array, and on the
-        # tunneled TPU each such trivial compile costs seconds (r4: the
-        # dominant share of a 170 s PushT init stage).
-        idx=tuple(jnp.asarray(g.astype(np.dtype(itype))) for g in idx_list),
-        vals=tuple(jnp.asarray(v.astype(np.dtype(dtype))) for v in val_list),
+        kw["out_perm"] = out_perm.astype(itype)
+    return dict(
+        idx=[g.astype(itype) for g in idx_list],
+        vals=val_list,
         in_len=int(in_len),
         out_len=int(out_len),
+        itype=itype,
         **kw,
+    )
+
+
+def _ell_upload(h: dict, dtype, idx_dev=None) -> EllTable:
+    """Upload a host-built ELL table. Dtype conversions happen in numpy
+    BEFORE upload: jnp.asarray with a differing dtype dispatches a convert
+    op per array, and on the tunneled TPU each such trivial compile costs
+    seconds (r4: the dominant share of a 170 s PushT init stage).
+    ``idx_dev`` reuses already-uploaded index buffers (multi-dtype copies
+    share them)."""
+    np_dt = np.dtype(dtype)
+    return EllTable(
+        idx=idx_dev
+        if idx_dev is not None
+        else tuple(jnp.asarray(g) for g in h["idx"]),
+        vals=tuple(jnp.asarray(v.astype(np_dt)) for v in h["vals"]),
+        out_perm=None if h["out_perm"] is None else jnp.asarray(h["out_perm"]),
+        out_pos=None if h["out_pos"] is None else jnp.asarray(h["out_pos"]),
+        out_src=None if h["out_src"] is None else jnp.asarray(h["out_src"]),
+        in_len=h["in_len"],
+        out_len=h["out_len"],
+    )
+
+
+def _build_ell(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    out_len: int,
+    in_len: int,
+    dtype,
+    min_bucket_rows: int = 256,
+) -> EllTable:
+    """Bucketed ELL from COO (rows -> output axis, cols -> input axis)."""
+    return _ell_upload(
+        _build_ell_host(rows, cols, vals, out_len, in_len, min_bucket_rows), dtype
     )
 
 
@@ -214,32 +251,46 @@ def build_sparse_a_pool(
     at_vals_lo = np.where(off, vals / np.sqrt(2.0), vals)
     at_vals = np.concatenate([at_vals_lo, vals[off] / np.sqrt(2.0)])
 
-    a_tbl = _build_ell(at_con_idx, a_cols, a_vals, con_num, pool_len, dtype)
-    at_tbl = _build_ell(at_rows, at_cols, at_vals, pool_len, con_num, dtype)
-    a_idx_compact = None
-    if at_tbl.out_pos is not None:
+    a_h = _build_ell_host(at_con_idx, a_cols, a_vals, con_num, pool_len)
+    at_h = _build_ell_host(at_rows, at_cols, at_vals, pool_len, con_num)
+    a_idx_compact_h = None
+    if at_h["out_pos"] is not None:
         # Remap A's pool-position gathers to A^T's compact partial-sum
         # vector: slot -> its cat index if A^T writes it, else the trailing
         # zero sentinel. Powers the pool-free composed matvec A (A^T y).
-        out_pos = np.asarray(at_tbl.out_pos)
-        out_src = np.asarray(at_tbl.out_src)
-        n_cat = sum(v.shape[0] for v in at_tbl.vals)
-        itype = at_tbl.out_pos.dtype
-        remapped = []
-        for gi in a_tbl.idx:
-            g = np.asarray(gi)
+        # All-host arithmetic: a device->host fetch through the tunneled
+        # TPU costs ~12 s per array (the r4 init postmortem).
+        out_pos = at_h["out_pos"]
+        out_src = at_h["out_src"]
+        n_cat = sum(v.shape[0] for v in at_h["vals"])
+        itype = at_h["itype"]
+        a_idx_compact_h = []
+        for g in a_h["idx"]:
             p = np.searchsorted(out_pos, g)
             pc = np.minimum(p, len(out_pos) - 1) if len(out_pos) else p * 0
             hit = (p < len(out_pos)) & (out_pos[pc] == g) if len(out_pos) else np.zeros(g.shape, bool)
-            remapped.append(jnp.asarray(np.where(hit, out_src[pc], n_cat).astype(np.dtype(itype))))
-        a_idx_compact = tuple(remapped)
-    return SparseA(
-        a=a_tbl,
-        at=at_tbl,
-        con_num=int(con_num),
-        vec_len=pool_len,
-        a_idx_compact=a_idx_compact,
-    )
+            a_idx_compact_h.append(np.where(hit, out_src[pc], n_cat).astype(itype))
+
+    dtypes = dtype if isinstance(dtype, (tuple, list)) else (dtype,)
+    out = []
+    a_idx_dev = at_idx_dev = None
+    compact_dev = None
+    for dt in dtypes:
+        a_tbl = _ell_upload(a_h, dt, idx_dev=a_idx_dev)
+        at_tbl = _ell_upload(at_h, dt, idx_dev=at_idx_dev)
+        a_idx_dev, at_idx_dev = a_tbl.idx, at_tbl.idx  # share index buffers
+        if a_idx_compact_h is not None and compact_dev is None:
+            compact_dev = tuple(jnp.asarray(g) for g in a_idx_compact_h)
+        out.append(
+            SparseA(
+                a=a_tbl,
+                at=at_tbl,
+                con_num=int(con_num),
+                vec_len=pool_len,
+                a_idx_compact=compact_dev,
+            )
+        )
+    return out[0] if not isinstance(dtype, (tuple, list)) else tuple(out)
 
 
 def cast_sparse_a(sa: SparseA, dtype) -> SparseA:

@@ -165,14 +165,19 @@ class SDPSolver:
         # cast values for the state-dtype copy. The f64 copy feeds the
         # normal-equation residual refinement / CG (ops/chol.py).
         hp_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        sa_hp = sparse_ops.build_sparse_a_pool(
-            prob.At_rows, prob.At_cols, at_vals, con_num, self.structure, hp_dtype
-        )
-        sa = (
-            sa_hp
-            if self.dtype == jnp.dtype(hp_dtype)
-            else sparse_ops.cast_sparse_a(sa_hp, self.dtype)
-        )
+        if self.dtype == jnp.dtype(hp_dtype):
+            sa_hp = sparse_ops.build_sparse_a_pool(
+                prob.At_rows, prob.At_cols, at_vals, con_num, self.structure, hp_dtype
+            )
+            sa = sa_hp
+        else:
+            # Both precision copies in one host build, sharing the uploaded
+            # index buffers (device-side casts or host pull-backs each cost
+            # seconds of remote-compile / D2H latency on this platform).
+            sa_hp, sa = sparse_ops.build_sparse_a_pool(
+                prob.At_rows, prob.At_cols, at_vals, con_num, self.structure,
+                (hp_dtype, self.dtype),
+            )
         self._sa_hp = sa_hp
         mark("ell_tables")
         neq = chol_ops.build_normal_solver(
