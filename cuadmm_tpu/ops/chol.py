@@ -109,6 +109,12 @@ class NormalEqSolver:
     # dense-factor HBM ceiling (~45k f32 on a 16 GB chip).
     packed_tiles: Optional[jax.Array] = None
     packed_layout: Optional[tuple] = None
+    # split: AA^T is exactly block-diagonal -- a coupled prefix of
+    # ``split_p`` rows (dense factor in chol_l/inv_l) plus a pure-diagonal
+    # tail (tail_inv_diag). Detected automatically for QUASAR-style
+    # problems; exact up to factor precision.
+    split_p: int = 0
+    tail_inv_diag: Optional[jax.Array] = None
     # precond/dense: refinement applications per solve.
     applies: int = 2
     # host: callable rhs(np) -> y(np)
@@ -139,7 +145,18 @@ class NormalEqSolver:
 
         Packed mode: two Pallas streaming sweeps over the packed
         block-triangular factor (ops/tri_stream.py) -- the only layout
-        that fits past ~45k constraints on a 16 GB chip."""
+        that fits past ~45k constraints on a 16 GB chip.
+
+        Split mode: AA^T is exactly block-diagonal with all off-diagonal
+        coupling in a leading prefix (QUASAR: 5001 coupled rows, 751,500
+        diagonal ones) -- the prefix goes through the dense inverted
+        factor, the tail through a diagonal inverse. Exact up to factor
+        precision."""
+        if self.split_p:
+            p = self.split_p
+            head = self._apply_prefix(r[:p])
+            tail = r[p:] * self.tail_inv_diag.astype(r.dtype)
+            return jnp.concatenate([head, tail])
         if self.packed_tiles is not None:
             from cuadmm_tpu.ops.tri_stream import PackedLayout, packed_solve
 
@@ -149,6 +166,11 @@ class NormalEqSolver:
                 self.packed_tiles, r.astype(self.packed_tiles.dtype), lay,
                 interpret=interp,
             ).astype(r.dtype)
+        return self._apply_prefix(r)
+
+    def _apply_prefix(self, r: jax.Array) -> jax.Array:
+        """Dense-factor application (the whole vector, or the coupled
+        prefix in split mode)."""
         if self.inv_l is not None:
             # The stored factor is lane-padded (pad_factor). On TPU the
             # fused Pallas kernel streams it from HBM once per application
@@ -181,7 +203,7 @@ class NormalEqSolver:
         ).astype(r.dtype)
 
     def solve(self, rhs: jax.Array, warm: Optional[jax.Array] = None) -> jax.Array:
-        if self.mode in ("precond", "dense", "packed"):
+        if self.mode in ("precond", "dense", "packed", "split"):
             hp = jnp.dtype(self.refine_dtype)
             rhs_hp = rhs.astype(hp)
             y = jnp.zeros_like(rhs_hp) if warm is None else warm.astype(hp)
@@ -288,6 +310,7 @@ jax.tree_util.register_dataclass(
         "fsai_g",
         "fsai_gt",
         "packed_tiles",
+        "tail_inv_diag",
     ],
     meta_fields=[
         "mode",
@@ -298,6 +321,7 @@ jax.tree_util.register_dataclass(
         "eps_used",
         "refine_dtype",
         "packed_layout",
+        "split_p",
     ],
 )
 
@@ -608,19 +632,33 @@ def build_normal_solver(
     # buffer > 2 GiB segfaults (observed at con_num=19988 f64 = 3.2 GiB).
     # Keep any single CPU factor under that line.
     cpu_max_factor_bytes = 2**31 - 1
+    aat_cached = None
     if mode == "auto":
         if con_num <= dense_chol_max:
             # Regularized f32 factor + f64 refinement on accelerators
             # (handles the singular AA^T of moment SDPs; f64 Cholesky is
             # software-emulated on TPU); true f64 Cholesky on CPU.
             mode = "precond" if (on_accel or jnp.dtype(dtype) == jnp.float32) else "dense"
-        elif on_accel and con_num <= PACKED_MAX_CON:
-            # Past the square-factor ceiling but the packed triangular
-            # factor (half the bytes) still fits HBM: streaming-TRSM mode
-            # (ops/tri_stream.py). Beyond ~70k constraints fall to CG.
-            mode = "packed"
         else:
-            mode = "cg"
+            # Structural probe: if AA^T is exactly block-diagonal with all
+            # off-diagonal coupling in a leading prefix that fits a dense
+            # factor (QUASAR: 5001 coupled rows + 751,500 diagonal ones),
+            # the system has an EXACT direct solve -- dense prefix factor
+            # plus a diagonal tail. The AA^T built here is reused by the
+            # packed/cg branches.
+            aat_cached = build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
+            coo_p = aat_cached.tocoo()
+            od = coo_p.row[coo_p.row != coo_p.col]
+            p_split = int(od.max()) + 1 if od.size else 1
+            if p_split <= dense_chol_max:
+                mode = "split"
+            elif on_accel and con_num <= PACKED_MAX_CON:
+                # Past the square-factor ceiling but the packed triangular
+                # factor (half the bytes) still fits HBM: streaming-TRSM
+                # mode (ops/tri_stream.py). Beyond ~70k fall to CG.
+                mode = "packed"
+            else:
+                mode = "cg"
         if not on_accel:
             if mode == "dense" and con_num * con_num * 8 > cpu_max_factor_bytes:
                 mode = "precond"  # f32 factor is half the bytes
@@ -700,6 +738,80 @@ def build_normal_solver(
         _mark("calibrate")
         return neq
 
+    if mode == "split":
+        aat = (
+            aat_cached
+            if aat_cached is not None
+            else build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
+        )
+        coo_s = aat.tocoo()
+        od = coo_s.row[coo_s.row != coo_s.col]
+        p = int(od.max()) + 1 if od.size else 1
+        if p > dense_chol_max:
+            raise ValueError(
+                f"normal_solver='split': coupled prefix is {p} rows, past "
+                f"dense_chol_max={dense_chol_max}"
+            )
+        diag = aat.diagonal()
+        scale = max(float(diag.mean()), 1e-30)
+        sub = np.asarray(aat[:p, :p].todense())
+        fac_dtype = jnp.float32 if on_accel else (
+            jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        )
+        eps0 = max(precond_eps, 1e-12 if fac_dtype == jnp.float64 else 1e-5)
+        cur = eps0
+
+        @jax.jit
+        def fac_split(subd, eps_arr):
+            with jax.default_matmul_precision("highest"):
+                l = jnp.linalg.cholesky(
+                    subd + eps_arr * jnp.eye(p, dtype=fac_dtype)
+                )
+            return l, jnp.isfinite(l[-1, -1])
+
+        sub_dev = jnp.asarray(sub.astype(np.dtype(fac_dtype)))
+        while True:
+            l, okf = fac_split(sub_dev, jnp.asarray(cur * scale, fac_dtype))
+            if bool(okf):
+                break
+            cur *= 10.0
+            if cur > 1e-1:
+                raise RuntimeError("split-prefix Cholesky failed at jitter 1e-1")
+        del sub_dev
+        _mark("split_factorize")
+        inv_l = None
+        if on_accel and fac_dtype == jnp.float32:
+            from cuadmm_tpu.ops.precond_apply import pad_factor
+
+            inv_l = pad_factor(_tri_inv(l))
+            l = None
+        td = diag[p:]
+        td = np.where(td > 1e-12 * scale, td, scale)
+        refine = "float64" if jax.config.jax_enable_x64 else "float32"
+        refine_sa = sa_hp
+        if on_accel and jnp.dtype(dtype) == jnp.float32:
+            refine = "float32"
+            refine_sa = sparse_a
+        neq = NormalEqSolver(
+            mode="split",
+            chol_l=l,
+            inv_diag=None,
+            bj_inv=None,
+            sparse_a=refine_sa,
+            cg_tol=cg_tol,
+            cg_max_iter=cg_max_iter,
+            applies=max(applies, 1),
+            eps_used=cur,
+            inv_l=inv_l,
+            split_p=p,
+            tail_inv_diag=jnp.asarray((1.0 / td).astype(np.dtype(refine))),
+            refine_dtype=refine,
+        )
+        if applies <= 0:
+            neq = _calibrate_applies(neq, con_num)
+        _mark("calibrate")
+        return neq
+
     if mode == "packed":
         from cuadmm_tpu.ops import pallas_gate, tri_stream
 
@@ -710,7 +822,11 @@ def build_normal_solver(
         else:
             block = 1024 if con_num > 2048 else 256
             lay = tri_stream.make_layout(con_num, block)
-            aat = build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
+            aat = (
+                aat_cached
+                if aat_cached is not None
+                else build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
+            )
             coo = aat.tocoo()
             diag_mean = float(aat.diagonal().mean())
             eps0 = max(precond_eps, 1e-5)
@@ -758,7 +874,11 @@ def build_normal_solver(
             return neq
 
     if mode == "cg":
-        aat = build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
+        aat = (
+            aat_cached
+            if aat_cached is not None
+            else build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
+        )
         # CG arithmetic dtype: always the high-precision dtype. An f32 CG
         # was tried (r4) and is BOTH numerically broken with FSAI's ~1e8
         # dynamic range on singular moment-SDP AA^T (measured relative

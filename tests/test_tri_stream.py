@@ -79,6 +79,36 @@ def test_probe_interpret():
     probe(interpret=True)
 
 
+def test_split_mode_block_diagonal():
+    """QUASAR-style structure: all AA^T coupling in a leading prefix +
+    a pure-diagonal tail -> auto-detected 'split' mode with an exact
+    prefix factor (reference counterpart: CHOLMOD handles the same system
+    generically, cholesky_cpu.h:62-155)."""
+    from cuadmm_tpu.ops import chol as chol_ops
+    from cuadmm_tpu.ops import sparse as sparse_ops
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    p, tail, vec_len = 20, 200, 600
+    Ap = sp.random(p, vec_len, density=0.2, random_state=1, format="lil")
+    Ap[:, vec_len - tail :] = 0
+    rowst = np.arange(tail)
+    colst = vec_len - tail + np.arange(tail)
+    Apt = sp.csr_matrix((np.ones(tail), (rowst, colst)), shape=(tail, vec_len))
+    A = sp.vstack([Ap.tocsr(), Apt]).tocsr()
+    con = p + tail
+    coo = A.tocoo()
+    r, c, v = coo.col.astype(np.int64), coo.row.astype(np.int64), coo.data
+    sa = sparse_ops.build_sparse_a(r, c, v, con, vec_len, jnp.float64)
+    neq = chol_ops.build_normal_solver(
+        r, c, v, con, vec_len, sa, "auto", jnp.float64, dense_chol_max=64
+    )
+    assert neq.mode == "split" and neq.split_p == p
+    rhs = jnp.asarray(A @ rng.standard_normal(vec_len))
+    y = jax.jit(neq.solve)(rhs)
+    assert float(neq.residual_norm(rhs, y)) < 1e-8
+
+
 def test_packed_mode_normal_solver():
     """build_normal_solver mode='packed': consistent-rhs solve with
     refinement reaches f64-refinement accuracy on a singular AA^T."""
