@@ -33,9 +33,19 @@ Everything here is device-resident:
   the real PushT AA^T: eps=1e-4, two applications -> relative residual
   1.8e-8; the reference bar is CHOLMOD's backward-stable ~1e-15).
 - ``dense``: identical solve path with an f64 factor (CPU parity path).
+- ``packed``: past the square-factor HBM ceiling (~45k f32 on a 16 GB
+  chip), the factor lives as packed block-triangular tiles applied by
+  Pallas streaming forward/backward substitution (ops/tri_stream.py) --
+  same refinement loop as precond. Auto up to ~73k constraints.
+- ``split``: when AA^T is exactly block-diagonal with all coupling in a
+  leading prefix (QUASAR: 5001 coupled + 751,500 diagonal rows), a dense
+  prefix factor plus diagonal tail is an EXACT direct solve at any
+  con_num. Auto-detected by a structural probe.
 - ``cg``: preconditioned conjugate gradient in f64 using only sparse
-  matvecs, with an optional block-Jacobi preconditioner built from the
-  diagonal blocks of AA^T (for con_num too large to hold a dense factor).
+  matvecs, FSAI-preconditioned (ops/fsai.py) with block-Jacobi fallback.
+  Last resort: ELL matvecs are gather-bound on TPU (~7 cycles/element),
+  so this is minutes-per-iteration at PlanarHand scale -- kept for
+  con_num beyond every dense-ish layout and as recovery fallback.
 - ``host``: scipy sparse LU once, host callback per solve -- the
   reference-style fallback; CPU backend only (TPU callbacks unsupported).
 
