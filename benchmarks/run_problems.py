@@ -60,14 +60,20 @@ PROBLEMS = {
         f"{REF}/SPOT/data/MOSEK/PlanarHand_N=1_MOMENT.mat",
         {"ref_total_s": 54.2, "ref_s_per_iter": 0.0616, "ref_pobj": 1.37991189e-05},
     ),
-    # quasar-500's TXT export has no At.txt; the QUASAR constraint set is
-    # fully structural and regenerated exactly (counts pinned against the
-    # reference load log -- models/quasar.py).
+    # quasar-500's At.txt is in the reference's own .MISSING_LARGE_BLOBS
+    # (unrecoverable); models/quasar.py regenerates the canonical QUASAR
+    # relaxation with exactly matching constraint/nnz counts. The r4
+    # experiments show the reference's logged pobj (452.24) lies strictly
+    # between the canonical reconstruction (461.55) and the only other
+    # count-consistent variant (446.71) -- so no objective gate is
+    # possible; ref numbers kept for timing comparison only.
     "quasar500": (
         "quasar",
         f"{REF}/plato/TXT/quasar-500",
         {"ref_total_s": 1538.2, "ref_s_per_iter": 0.2460,
-         "ref_pobj": 452.243076, "ref_iterations": 6253},
+         "ref_iterations": 6253,
+         "note": "reference At unrecoverable (.MISSING_LARGE_BLOBS); "
+                 "canonical reconstruction, KKT-gated only"},
     ),
     # Remaining plato problems whose TXT exports lack At.txt; loaded from
     # the MATLAB archives instead. Reference numbers from plato/logs/*.log

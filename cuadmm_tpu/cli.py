@@ -34,7 +34,11 @@ def main(argv=None) -> int:
     ps.add_argument("--switch-admm", type=int, default=5000,
                     help="iteration at which sGS-ADMM switches to plain ADMM (0 = plain ADMM)")
     ps.add_argument("--dtype", choices=["float32", "float64"], default="float64")
-    ps.add_argument("--normal-solver", choices=["auto", "dense", "cg", "host"], default="auto")
+    ps.add_argument(
+        "--normal-solver",
+        choices=["auto", "precond", "dense", "packed", "split", "cg", "host"],
+        default="auto",
+    )
     ps.add_argument("--check-every", type=int, default=50)
     ps.add_argument("--warm-start", action="store_true", help="read X.txt/y.txt/S.txt from the directory")
     ps.add_argument("--output", default=None, help="output file (default <dir>/X_opt.txt)")

@@ -23,12 +23,19 @@ svec convention: row-major lower triangle, idx(r, c) = r(r+1)/2 + c for
 r >= c, off-diagonals scaled by sqrt(2) (reference:
 src/utils/get_maps.cu:40-66, src/kernels/vec_mat_conversion.cu:5).
 
-Caveat (ADVICE r3): because the reference never committed At.txt, the
-per-entry coefficient scaling (1 on diagonals, 1/sqrt(2) on svec
-off-diagonals) is *inferred* from the svec convention, not verified
-value-for-value. Count/feasibility tests pin the structure; value-level
-equivalence is certified only by the quasar500 benchmark's mandatory
-obj_match gate against the reference's logged objective.
+Caveat (ADVICE r3, resolved r4 with evidence): the reference's At.txt is
+listed in its own ``.MISSING_LARGE_BLOBS`` -- the ground-truth file is
+unrecoverable by construction, so value-level equivalence CANNOT be
+certified. The r4 on-TPU experiments bound the difference: this module's
+canonical QUASAR relaxation (all redundant constraints of Yang &
+Carlone's formulation) converges to pobj 461.55 at KKT < 1e-3; the
+reference logged 452.24; a deliberately weakened variant (16-row
+X_ii = X_00 family with duplicates + symmetry only for i >= 1 pairs --
+the only other split matching BOTH the constraint count 756,501 AND the
+nnz count 1,515,004 exactly) converges to 446.71. The reference's actual
+constraint values therefore lie strictly between the two reconstructions
+and match neither; its generator is not in the repo. We ship the
+canonical (tightest, published) relaxation.
 """
 
 from __future__ import annotations
