@@ -84,7 +84,6 @@ def scatter_packed_aat(
 
     # Regularized diagonal + identity padding, as extra COO entries.
     scale = max(float(diag_mean), 1.0)
-    dr = np.arange(lay.n, lay.n_pad, dtype=np.int64)
     all_d = np.arange(lay.n_pad, dtype=np.int64)
     t_d = ((all_d // lay.block) * (all_d // lay.block + 1) // 2 + all_d // lay.block)
     rd = all_d % lay.block

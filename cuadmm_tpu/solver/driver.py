@@ -314,7 +314,7 @@ class SDPSolver:
         cfg, prob = self.config, self.problem
         neq = self.params.neq
         if level == 1:
-            if neq.mode in ("precond", "dense", "packed"):
+            if neq.mode in ("precond", "dense", "packed", "split"):
                 neq = dataclasses.replace(neq, applies=neq.applies + 2)
         else:
             rows, cols, vals = self._at_triplets
