@@ -117,8 +117,19 @@ def make_step(
                 jnp.linalg.norm(params.normA * Rp) * params.bscale / params.norm_borg
             )
             errRd = jnp.linalg.norm(Rd) * params.Cscale / params.norm_Corg
-            pobj = jnp.dot(params.C, X) * params.objscale
-            dobj = jnp.dot(params.b, y_new) * params.objscale
+            # Objective dots in f64 (when available): an f32 dot over a
+            # ~1M-slot pool with cancellation carries ~1e-2 relative error
+            # (rose13: relgap stuck at 1.6% with KKT residuals at 2e-5 --
+            # the gap was pobj's own rounding, not the iterate's).
+            hp = jnp.float64 if jax.config.jax_enable_x64 else X.dtype
+            pobj = (
+                jnp.dot(params.C.astype(hp), X.astype(hp))
+                * params.objscale.astype(hp)
+            ).astype(X.dtype)
+            dobj = (
+                jnp.dot(params.b.astype(hp), y_new.astype(hp))
+                * params.objscale.astype(hp)
+            ).astype(X.dtype)
             maxfeas = jnp.maximum(errRp, errRd)
             relgap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
 
