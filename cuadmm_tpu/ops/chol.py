@@ -119,12 +119,18 @@ class NormalEqSolver:
     # dense-factor HBM ceiling (~45k f32 on a 16 GB chip).
     packed_tiles: Optional[jax.Array] = None
     packed_layout: Optional[tuple] = None
-    # split: AA^T is exactly block-diagonal -- a coupled prefix of
-    # ``split_p`` rows (dense factor in chol_l/inv_l) plus a pure-diagonal
-    # tail (tail_inv_diag). Detected automatically for QUASAR-style
-    # problems; exact up to factor precision.
+    # split: AA^T is exactly block-diagonal under a row permutation -- a
+    # coupled set of ``split_p`` rows (dense factor in chol_l/inv_l) plus
+    # pure-diagonal rows (tail_inv_diag). ANY AA^T splits this way (a row
+    # without off-diagonal entries couples to nothing); the mode engages
+    # when the coupled set is small. split_p == 0 = fully diagonal AA^T
+    # (ros_2000, rose13, cnhil10: the solve is an elementwise divide).
+    # ``split_perm``/``split_inv_perm`` are None when the coupled rows
+    # already form a prefix (QUASAR).
     split_p: int = 0
     tail_inv_diag: Optional[jax.Array] = None
+    split_perm: Optional[jax.Array] = None
+    split_inv_perm: Optional[jax.Array] = None
     # precond/dense: refinement applications per solve.
     applies: int = 2
     # host: callable rhs(np) -> y(np)
@@ -162,11 +168,15 @@ class NormalEqSolver:
         diagonal ones) -- the prefix goes through the dense inverted
         factor, the tail through a diagonal inverse. Exact up to factor
         precision."""
-        if self.split_p:
+        if self.tail_inv_diag is not None:
             p = self.split_p
-            head = self._apply_prefix(r[:p])
-            tail = r[p:] * self.tail_inv_diag.astype(r.dtype)
-            return jnp.concatenate([head, tail])
+            rp = r if self.split_perm is None else r[self.split_perm]
+            tail = rp[p:] * self.tail_inv_diag.astype(r.dtype)
+            if p:
+                y = jnp.concatenate([self._apply_prefix(rp[:p]), tail])
+            else:
+                y = tail
+            return y if self.split_inv_perm is None else y[self.split_inv_perm]
         if self.packed_tiles is not None:
             from cuadmm_tpu.ops.tri_stream import PackedLayout, packed_solve
 
@@ -321,6 +331,8 @@ jax.tree_util.register_dataclass(
         "fsai_gt",
         "packed_tiles",
         "tail_inv_diag",
+        "split_perm",
+        "split_inv_perm",
     ],
     meta_fields=[
         "mode",
@@ -644,31 +656,32 @@ def build_normal_solver(
     cpu_max_factor_bytes = 2**31 - 1
     aat_cached = None
     if mode == "auto":
-        if con_num <= dense_chol_max:
+        # O(nnz) coupling probe, no AA^T product needed: an off-diagonal
+        # AA^T entry requires two constraints sharing an svec column, so
+        # the coupled-row set is every constraint touching a column with
+        # multiplicity >= 2. ANY AA^T is block-diagonal under the
+        # permutation [coupled rows, diagonal rows]; when the coupled set
+        # fits a dense factor the solve is EXACT and tiny (ros_2000 /
+        # rose13 / cnhil10: ZERO coupled rows -- the old dense factor was
+        # a 1.6 GB HBM read per apply for an elementwise divide; QUASAR:
+        # 5001 coupled of 756,501).
+        col_mult = np.bincount(at_svec_idx, minlength=vec_len)
+        shared = col_mult[at_svec_idx] >= 2
+        n_coupled = len(np.unique(at_con_idx[shared]))
+        if n_coupled <= min(dense_chol_max, max(con_num // 2, 1024)):
+            mode = "split"
+        elif con_num <= dense_chol_max:
             # Regularized f32 factor + f64 refinement on accelerators
             # (handles the singular AA^T of moment SDPs; f64 Cholesky is
             # software-emulated on TPU); true f64 Cholesky on CPU.
             mode = "precond" if (on_accel or jnp.dtype(dtype) == jnp.float32) else "dense"
+        elif on_accel and con_num <= PACKED_MAX_CON:
+            # Past the square-factor ceiling but the packed triangular
+            # factor (half the bytes) still fits HBM: streaming-TRSM
+            # mode (ops/tri_stream.py). Beyond ~70k fall to CG.
+            mode = "packed"
         else:
-            # Structural probe: if AA^T is exactly block-diagonal with all
-            # off-diagonal coupling in a leading prefix that fits a dense
-            # factor (QUASAR: 5001 coupled rows + 751,500 diagonal ones),
-            # the system has an EXACT direct solve -- dense prefix factor
-            # plus a diagonal tail. The AA^T built here is reused by the
-            # packed/cg branches.
-            aat_cached = build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
-            coo_p = aat_cached.tocoo()
-            od = coo_p.row[coo_p.row != coo_p.col]
-            p_split = int(od.max()) + 1 if od.size else 1
-            if p_split <= dense_chol_max:
-                mode = "split"
-            elif on_accel and con_num <= PACKED_MAX_CON:
-                # Past the square-factor ceiling but the packed triangular
-                # factor (half the bytes) still fits HBM: streaming-TRSM
-                # mode (ops/tri_stream.py). Beyond ~70k fall to CG.
-                mode = "packed"
-            else:
-                mode = "cg"
+            mode = "cg"
         if not on_accel:
             if mode == "dense" and con_num * con_num * 8 > cpu_max_factor_bytes:
                 mode = "precond"  # f32 factor is half the bytes
@@ -749,59 +762,76 @@ def build_normal_solver(
         return neq
 
     if mode == "split":
-        aat = (
-            aat_cached
-            if aat_cached is not None
-            else build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
-        )
-        coo_s = aat.tocoo()
-        od = coo_s.row[coo_s.row != coo_s.col]
-        p = int(od.max()) + 1 if od.size else 1
+        # Coupled-row set via the O(nnz) shared-column probe (see the
+        # auto-mode comment); the permutation [S, S^c] makes AA^T exactly
+        # block-diagonal: dense factor on S, elementwise inverse on S^c.
+        col_mult = np.bincount(at_svec_idx, minlength=vec_len)
+        shared = col_mult[at_svec_idx] >= 2
+        S = np.unique(at_con_idx[shared])
+        p = len(S)
         if p > dense_chol_max:
             raise ValueError(
-                f"normal_solver='split': coupled prefix is {p} rows, past "
+                f"normal_solver='split': coupled set is {p} rows, past "
                 f"dense_chol_max={dense_chol_max}"
             )
-        diag = aat.diagonal()
+        diag = np.bincount(
+            at_con_idx, weights=np.asarray(vals) ** 2, minlength=con_num
+        )
         scale = max(float(diag.mean()), 1e-30)
-        sub = np.asarray(aat[:p, :p].todense())
+        perm = np.concatenate([S, np.setdiff1d(np.arange(con_num), S)])
+        identity = bool(np.array_equal(perm, np.arange(con_num)))
         fac_dtype = jnp.float32 if on_accel else (
             jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         )
-        eps0 = max(precond_eps, 1e-12 if fac_dtype == jnp.float64 else 1e-5)
-        cur = eps0
-
-        @jax.jit
-        def fac_split(subd, eps_arr):
-            with jax.default_matmul_precision("highest"):
-                l = jnp.linalg.cholesky(
-                    subd + eps_arr * jnp.eye(p, dtype=fac_dtype)
-                )
-            return l, jnp.isfinite(l[-1, -1])
-
-        sub_dev = jnp.asarray(sub.astype(np.dtype(fac_dtype)))
-        while True:
-            l, okf = fac_split(sub_dev, jnp.asarray(cur * scale, fac_dtype))
-            if bool(okf):
-                break
-            cur *= 10.0
-            if cur > 1e-1:
-                raise RuntimeError("split-prefix Cholesky failed at jitter 1e-1")
-        del sub_dev
-        _mark("split_factorize")
+        # f32 factors need precond_eps-level jitter; f64 factors only the
+        # aat_eps floor (a 1e-4 jitter would cap refinement at 1e-8).
+        cur = (
+            max(precond_eps, 1e-5)
+            if fac_dtype == jnp.float32
+            else max(eps, 1e-12)
+        )
         inv_l = None
-        if on_accel and fac_dtype == jnp.float32:
-            from cuadmm_tpu.ops.precond_apply import pad_factor
+        l = None
+        if p:
+            A_csr = sp.csr_matrix(
+                (vals, (at_con_idx, at_svec_idx)), shape=(con_num, vec_len)
+            )
+            A_S = A_csr[S]
+            sub = np.asarray((A_S @ A_S.T).todense())
 
-            inv_l = pad_factor(_tri_inv(l))
-            l = None
-        td = diag[p:]
+            @jax.jit
+            def fac_split(subd, eps_arr):
+                with jax.default_matmul_precision("highest"):
+                    lw = jnp.linalg.cholesky(
+                        subd + eps_arr * jnp.eye(p, dtype=fac_dtype)
+                    )
+                return lw, jnp.isfinite(lw[-1, -1])
+
+            sub_dev = jnp.asarray(sub.astype(np.dtype(fac_dtype)))
+            while True:
+                l, okf = fac_split(sub_dev, jnp.asarray(cur * scale, fac_dtype))
+                if bool(okf):
+                    break
+                cur *= 10.0
+                if cur > 1e-1:
+                    raise RuntimeError(
+                        "split-prefix Cholesky failed at jitter 1e-1"
+                    )
+            del sub_dev
+            if on_accel and fac_dtype == jnp.float32:
+                from cuadmm_tpu.ops.precond_apply import pad_factor
+
+                inv_l = pad_factor(_tri_inv(l))
+                l = None
+        _mark("split_factorize")
+        td = diag[perm[p:]]
         td = np.where(td > 1e-12 * scale, td, scale)
         refine = "float64" if jax.config.jax_enable_x64 else "float32"
         refine_sa = sa_hp
         if on_accel and jnp.dtype(dtype) == jnp.float32:
             refine = "float32"
             refine_sa = sparse_a
+        inv_perm = np.argsort(perm)
         neq = NormalEqSolver(
             mode="split",
             chol_l=l,
@@ -815,6 +845,10 @@ def build_normal_solver(
             inv_l=inv_l,
             split_p=p,
             tail_inv_diag=jnp.asarray((1.0 / td).astype(np.dtype(refine))),
+            split_perm=None if identity else jnp.asarray(perm.astype(np.int32)),
+            split_inv_perm=None
+            if identity
+            else jnp.asarray(inv_perm.astype(np.int32)),
             refine_dtype=refine,
         )
         if applies <= 0:

@@ -109,6 +109,51 @@ def test_split_mode_block_diagonal():
     assert float(neq.residual_norm(rhs, y)) < 1e-8
 
 
+def test_split_mode_diagonal_and_permuted():
+    """Generalized split: (a) fully-diagonal AA^T (ros_2000/rose13/cnhil10
+    class) solves with no dense factor at all; (b) coupled rows scattered
+    through the row order are gathered by the stored permutation."""
+    from cuadmm_tpu.ops import chol as chol_ops
+    from cuadmm_tpu.ops import sparse as sparse_ops
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    # (a) diagonal: every constraint touches distinct svec entries.
+    con, vec_len = 50, 200
+    r = np.arange(con, dtype=np.int64) * 3  # distinct svec cols
+    c = np.arange(con, dtype=np.int64)
+    v = rng.standard_normal(con) + 2.0
+    sa = sparse_ops.build_sparse_a(r, c, v, con, vec_len, jnp.float64)
+    neq = chol_ops.build_normal_solver(
+        r, c, v, con, vec_len, sa, "auto", jnp.float64
+    )
+    assert neq.mode == "split" and neq.split_p == 0 and neq.inv_l is None
+    rhs = jnp.asarray(rng.standard_normal(con) * v**2)
+    y = jax.jit(neq.solve)(rhs)
+    assert float(neq.residual_norm(rhs, y)) < 1e-12
+
+    # (b) permuted: coupled rows at ODD indices (share svec columns).
+    A = sp.lil_matrix((40, vec_len))
+    for i in range(40):
+        if i % 2 == 1:
+            A[i, 0] = 1.0  # shared column -> coupled
+            A[i, 1 + i] = 0.5
+        else:
+            A[i, 100 + i] = 2.0  # private column -> diagonal row
+    A = A.tocsr()
+    coo = A.tocoo()
+    r2, c2, v2 = coo.col.astype(np.int64), coo.row.astype(np.int64), coo.data
+    sa2 = sparse_ops.build_sparse_a(r2, c2, v2, 40, vec_len, jnp.float64)
+    neq2 = chol_ops.build_normal_solver(
+        r2, c2, v2, 40, vec_len, sa2, "split", jnp.float64
+    )
+    assert neq2.mode == "split" and neq2.split_p == 20
+    assert neq2.split_perm is not None  # non-prefix coupling -> permuted
+    rhs2 = jnp.asarray(A @ rng.standard_normal(vec_len))
+    y2 = jax.jit(neq2.solve)(rhs2)
+    assert float(neq2.residual_norm(rhs2, y2)) < 1e-8
+
+
 def test_packed_mode_normal_solver():
     """build_normal_solver mode='packed': consistent-rhs solve with
     refinement reaches f64-refinement accuracy on a singular AA^T."""
