@@ -25,7 +25,10 @@ REF = "/root/reference/examples"
 # name -> (loader-kind, path, reference numbers where known).
 # ref_pobj: objective from the reference's committed solve logs (all at
 # stop_tol 1e-3) or the published DIMACS optima; obj_match in the output
-# checks |pobj - ref_pobj| / (1 + |ref_pobj|) < 5e-3.
+# checks |pobj - ref_pobj| / (1 + |pobj| + |dobj|) < 5e-3 (the
+# reference's own relgap normalization, src/solver.cu -- the old
+# /(1+|ref|) gate was vacuous for near-zero objectives: PlanarHand
+# passed with a 140x relative discrepancy on the optimum scale).
 PROBLEMS = {
     "truss5": ("txt", f"{REF}/dimacs/data/TXT/truss5", {"ref_pobj": 132.6356895}),
     "truss8": ("txt", f"{REF}/dimacs/data/TXT/truss8", {"ref_pobj": 133.1145891}),
@@ -90,6 +93,49 @@ PROBLEMS = {
     "taha1a": ("sedumi_mat", f"{REF}/plato/MATLAB/taha1a.mat",
                {"ref_total_s": 2.3}),
     "chs5000": ("sedumi_mat", f"{REF}/plato/MATLAB/chs_5000.mat", {}),
+    # --- Large SPOT problems (TXT At.txt exports are all in the
+    # reference's .MISSING_LARGE_BLOBS; the MOSEK archives are complete
+    # and the importer is validated against the N=1/N=10 TXT trees,
+    # tests/test_importers.py). Reference numbers: benchmarks.csv rows
+    # (plain cuADMM / sGS-cuADMM total seconds) + per-problem logs.
+    "pusht_n30": (
+        "mosek", f"{REF}/SPOT/data/MOSEK/PushT_N=30_MOMENT.mat",
+        # Only the sGS-cuADMM log exists (cuADMM.log is empty):
+        # 1070.2 s total, 0.6122 s/iter, pobj 5.50299406e-2.
+        {"ref_total_s": 1070.2, "ref_s_per_iter": 0.6122,
+         "ref_pobj": 5.50299406e-02, "ref_mode": "sgs"},
+    ),
+    "pushbox_n30": (
+        "mosek", f"{REF}/SPOT/data/MOSEK/PushBox_N=30_MOMENT.mat",
+        # benchmarks.csv:2-5: cuADMM 905.1 s / sGS-cuADMM 278.0 s.
+        {"ref_total_s": 905.1, "ref_total_s_sgs": 278.0},
+    ),
+    "pushbox_n30_sos": (
+        "mosek", f"{REF}/SPOT/data/MOSEK/PushBox_N=30_SOS.mat", {},
+    ),
+    "pushbox_n50": (
+        "mosek", f"{REF}/SPOT/data/MOSEK/PushBox_N=50_MOMENT.mat", {},
+    ),
+    "planarhand_n10": (
+        "mosek", f"{REF}/SPOT/data/MOSEK/PlanarHand_N=10_MOMENT.mat",
+        # No log; the reference solves this with the 2-GPU duo solver
+        # (src/duo_solver.cu).
+        {},
+    ),
+    # Pendulum N=80 (112,028 cons): SeDuMi struct nested in SDP.sedumi.
+    # Reference log examples/pendulum/N=80_licols.log: 0.0222 s/iter,
+    # 2218.7 s total, best max KKT after switch 1.5e-4.
+    "pendulum_n80": (
+        "pendulum", f"{REF}/pendulum/MATLAB/N=80_licols.mat",
+        {"ref_total_s": 2218.7, "ref_s_per_iter": 0.0222},
+    ),
+    # DIMACS hinf12/13: complete TXT exports; no benchmarks.csv row or
+    # reference log -- KKT-gated only.
+    "hinf12": ("txt", f"{REF}/dimacs/data/TXT/hinf12", {}),
+    "hinf13": ("txt", f"{REF}/dimacs/data/TXT/hinf13", {}),
+    # PushBot N=1/N=10, Tunnel N=1 and PushT N=5 appear in
+    # benchmarks.csv but the reference tree ships NO data files for them
+    # (no TXT/MOSEK entries anywhere) -- not runnable.
 }
 
 
@@ -113,6 +159,19 @@ def load(kind: str, path: str):
         from cuadmm_tpu.io.sedumi import load_sedumi_mat
 
         return load_sedumi_mat(path)
+    if kind == "pendulum":
+        # SeDuMi data nested as SDP.sedumi.{At,b,c,K} (a full MATLAB
+        # workspace dump, not a flat sedumi file).
+        import scipy.io as sio
+
+        from cuadmm_tpu.io.sedumi import sedumi_to_problem
+
+        s = sio.loadmat(path)["SDP"][0, 0]["sedumi"][0, 0]
+        K = s["K"][0, 0]
+        return sedumi_to_problem(
+            s["At"].T, s["b"], s["c"],
+            {n: K[n] for n in K.dtype.names}, name=path.rsplit("/", 1)[-1],
+        )
     raise ValueError(kind)
 
 
@@ -125,6 +184,11 @@ def main() -> None:
     ap.add_argument("--max-iter", type=int, default=100_000)
     ap.add_argument("--sig", type=float, default=None, help="default: 200 for moment problems, 1 otherwise")
     ap.add_argument("--check-every", type=int, default=100)
+    ap.add_argument(
+        "--mode", default="auto", choices=["auto", "admm", "sgs"],
+        help="auto: default sGS->ADMM switch at 5000; admm: plain ADMM "
+        "from iter 0; sgs: stay in sGS mode (the reference's sGS-cuADMM)",
+    )
     ap.add_argument("--cache-dir", default=None)
     ap.add_argument("--platform", default=None, help="force a jax platform (e.g. cpu)")
     args = ap.parse_args()
@@ -161,13 +225,16 @@ def main() -> None:
         try:
             prob = load(kind, path)
             sig = args.sig if args.sig is not None else (200.0 if "MOMENT" in path else 1.0)
+            switch = {"auto": 5000, "admm": 0, "sgs": 10**9}[args.mode]
             cfg = SolverConfig(
                 dtype=args.dtype,
                 stop_tol=args.stop_tol,
                 verbose=False,
                 check_every=args.check_every,
                 sig=sig,
+                switch_admm=switch,
             )
+            row["mode"] = args.mode
             t0 = time.perf_counter()
             solver = SDPSolver(prob, cfg)
             init_s = time.perf_counter() - t0
@@ -189,10 +256,20 @@ def main() -> None:
                 recoveries=res.recoveries,
             )
             if "ref_total_s" in ref:
-                row["speedup_total"] = round(ref["ref_total_s"] / max(solve_s, 1e-9), 2)
+                # Honest wall-clock: the reference's total includes its
+                # CHOLMOD analyze+factorize, so ours must include init.
+                row["speedup_total"] = round(
+                    ref["ref_total_s"] / max(init_s + solve_s, 1e-9), 2
+                )
+                row["speedup_solve"] = round(
+                    ref["ref_total_s"] / max(solve_s, 1e-9), 2
+                )
             if "ref_pobj" in ref:
+                # Relgap-style normalization (see PROBLEMS comment).
                 row["obj_match"] = bool(
-                    abs(res.pobj - ref["ref_pobj"]) / (1.0 + abs(ref["ref_pobj"])) < 5e-3
+                    abs(res.pobj - ref["ref_pobj"])
+                    / (1.0 + abs(res.pobj) + abs(res.dobj))
+                    < 5e-3
                 )
         except Exception as e:  # record the failure, keep going
             row.update(error=f"{type(e).__name__}: {e}")

@@ -31,6 +31,25 @@ from cuadmm_tpu.ops.sparse import spmv_a, spmv_at
 from cuadmm_tpu.parallel.mesh import shard_pool
 from cuadmm_tpu.solver.state import SolveParams, SolverState
 
+def _seg_dot(u: jax.Array, v: jax.Array) -> jax.Array:
+    """Dot product with a length-independent accumulation floor.
+
+    f32 products, f32 partial sums over SEG-element segments, and an
+    f64 (emulated, when x64 is on) reduction over the ~n/SEG partials.
+    See the call site in ``step`` for the accuracy/cost rationale.
+    """
+    n = u.shape[0]
+    seg = 2048
+    k = -(-n // seg)
+    pad = k * seg - n
+    if pad:
+        u = jnp.concatenate([u, jnp.zeros((pad,), u.dtype)])
+        v = jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
+    parts = jnp.sum(u.reshape(k, seg) * v.reshape(k, seg), axis=1)
+    hp = jnp.float64 if jax.config.jax_enable_x64 else u.dtype
+    return jnp.sum(parts.astype(hp))
+
+
 TAU_SGS = 1.95  # reference: src/solver.cu:748
 TAU_ADMM = 1.618  # reference: src/solver.cu:750
 SWITCH_SIGSCALE_BOOST = 1.23  # reference: src/solver.cu:684
@@ -117,19 +136,20 @@ def make_step(
                 jnp.linalg.norm(params.normA * Rp) * params.bscale / params.norm_borg
             )
             errRd = jnp.linalg.norm(Rd) * params.Cscale / params.norm_Corg
-            # Objective dots in f64 (when available): an f32 dot over a
-            # ~1M-slot pool with cancellation carries ~1e-2 relative error
-            # (rose13: relgap stuck at 1.6% with KKT residuals at 2e-5 --
-            # the gap was pobj's own rounding, not the iterate's).
-            hp = jnp.float64 if jax.config.jax_enable_x64 else X.dtype
-            pobj = (
-                jnp.dot(params.C.astype(hp), X.astype(hp))
-                * params.objscale.astype(hp)
-            ).astype(X.dtype)
-            dobj = (
-                jnp.dot(params.b.astype(hp), y_new.astype(hp))
-                * params.objscale.astype(hp)
-            ).astype(X.dtype)
+            # Objective dots: an f32 dot over a ~1M-slot pool with
+            # cancellation carries ~1e-2 relative error (rose13: relgap
+            # stuck at 1.6% with KKT residuals at 2e-5 -- the gap was
+            # pobj's own rounding, not the iterate's). Full f64 dots fix
+            # that but f64 is *emulated* on TPU and these run every
+            # iteration inside the scan: they cost 42 vs 65 it/s on the
+            # PushT N=10 bench (round-5 measurement). Segmented dots --
+            # f32 products + per-segment f32 partial sums, segment
+            # partials reduced in f64 -- remove the length-dependent
+            # accumulation floor (error ~ sqrt(SEG)*eps_f32 of the
+            # magnitude sum, ~5e-6) at ~f32-dot cost: the emulated-f64
+            # work touches only n/SEG elements.
+            pobj = (_seg_dot(params.C, X) * params.objscale).astype(X.dtype)
+            dobj = (_seg_dot(params.b, y_new) * params.objscale).astype(X.dtype)
             maxfeas = jnp.maximum(errRp, errRd)
             relgap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
 
