@@ -235,12 +235,10 @@ class NormalEqSolver:
                 y = y + self._apply_factor(r).astype(hp)
             return y.astype(rhs.dtype)
         if self.mode == "cg":
-            # CG runs in the dtype its tables were built in: f32 on
-            # accelerators with f32 state (TPU f64 is software-emulated;
-            # measured 21 s per PlanarHand N=1 solve in f64 -- the round-3
-            # "worker crashed" runs were watchdog kills of such chunks),
-            # f64 elsewhere. FSAI preconditioning keeps f32 CG's residual
-            # floor (~1e-7 relative) at the f32 state's own signal level.
+            # CG runs in the dtype its tables were built in: the
+            # high-precision dtype (f64 under x64, every shipped entry
+            # point) -- f32 CG was measured both numerically broken with
+            # FSAI and not faster (gather-bound), see build_normal_solver.
             hp = self.aat_tbl.vals[0].dtype if self.aat_tbl is not None else _hp_dtype()
             y = _pcg(
                 self._op(),
@@ -668,7 +666,8 @@ def build_normal_solver(
         col_mult = np.bincount(at_svec_idx, minlength=vec_len)
         shared = col_mult[at_svec_idx] >= 2
         n_coupled = len(np.unique(at_con_idx[shared]))
-        if n_coupled <= min(dense_chol_max, max(con_num // 2, 1024)):
+        split_fits_cpu = on_accel or n_coupled * n_coupled * 4 <= cpu_max_factor_bytes
+        if n_coupled <= min(dense_chol_max, max(con_num // 2, 1024)) and split_fits_cpu:
             mode = "split"
         elif con_num <= dense_chol_max:
             # Regularized f32 factor + f64 refinement on accelerators
@@ -783,6 +782,22 @@ def build_normal_solver(
         fac_dtype = jnp.float32 if on_accel else (
             jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         )
+        # Same XLA:CPU 2 GiB factor-buffer guard as the dense/precond
+        # modes: an f64 p x p prefix factor past the 32-bit-offset line
+        # segfaults; f32 halves the bytes (refinement sweeps against the
+        # exact f64 AA^T restore accuracy, as in precond mode).
+        if (
+            not on_accel
+            and fac_dtype == jnp.float64
+            and p * p * 8 > cpu_max_factor_bytes
+        ):
+            fac_dtype = jnp.float32
+        if not on_accel and p * p * 4 > cpu_max_factor_bytes:
+            raise ValueError(
+                f"normal_solver='split': {p}-row coupled prefix exceeds "
+                "the XLA:CPU 2 GiB factor-buffer limit even in f32; use "
+                "mode='cg'"
+            )
         # f32 factors need precond_eps-level jitter; f64 factors only the
         # aat_eps floor (a 1e-4 jitter would cap refinement at 1e-8).
         cur = (
@@ -932,6 +947,25 @@ def build_normal_solver(
         # dtype does not change. Large-con_num problems should use the
         # packed triangular factor path instead (ops/tri_stream.py).
         cg_dtype = _hp_dtype()
+        if cg_dtype == jnp.float32 and cg_precond == "auto":
+            # Without x64, CG runs f32 -- and f32 FSAI is the measured-
+            # broken combination above (relative residual ~30 from FSAI's
+            # ~1e8 dynamic range). Auto mode drops to (block-)Jacobi;
+            # an explicit cg_precond="fsai" still honors the request but
+            # warns.
+            cg_precond = "block_jacobi" if cg_block_jacobi else "jacobi"
+            warnings.warn(
+                "cg mode without jax_enable_x64 runs float32 CG; FSAI is "
+                "numerically unreliable in f32 and was disabled (using "
+                f"{cg_precond}). Enable x64 for the FSAI-preconditioned "
+                "f64 CG path."
+            )
+        elif cg_dtype == jnp.float32 and cg_precond == "fsai":
+            warnings.warn(
+                "cg_precond='fsai' with float32 CG (x64 disabled): "
+                "measured relative residual ~30 on singular moment-SDP "
+                "AA^T; results may be unusable. Enable x64."
+            )
         bj = None
         fsai_g = fsai_gt = None
         if cg_precond in ("auto", "fsai"):
@@ -948,6 +982,8 @@ def build_normal_solver(
                     pattern_power=fsai_pattern_power,
                     cap=fsai_cap,
                 )
+                _mark("fsai_build")
+                LAST_BUILD_TIMINGS["fsai_nnz"] = int(G.nnz)
                 fsai_g, fsai_gt = fsai_tables(G, cg_dtype)
             except Exception:
                 if cg_precond == "fsai":

@@ -45,19 +45,27 @@ def _pattern(aat: sp.csr_matrix, power: int, cap: int) -> sp.csr_matrix:
     pat = sp.tril(pat, format="csr")
     if cap <= 0:
         return pat
+    # Vectorized per-row top-|value| cap, grouped by row length (the old
+    # all-Python row loop took minutes at the 154k-484k constraint counts
+    # where cg mode actually engages, ADVICE r4). Rows at or under the cap
+    # pass through untouched; each longer length class does ONE batched
+    # argpartition over an (m, L) dense slab.
     n = pat.shape[0]
     indptr, indices, data = pat.indptr, pat.indices, pat.data
-    rows_out, cols_out = [], []
-    for i in range(n):
-        s, e = indptr[i], indptr[i + 1]
-        J = indices[s:e]
-        if len(J) > cap:
-            keep = np.argpartition(-np.abs(data[s:e]), cap - 1)[:cap]
-            J = np.union1d(J[keep], [i])
-        rows_out.append(np.full(len(J), i, dtype=np.int64))
-        cols_out.append(J.astype(np.int64))
-    rows_np = np.concatenate(rows_out)
-    cols_np = np.concatenate(cols_out)
+    sizes = np.diff(indptr)
+    keep_mask = np.ones(len(indices), dtype=bool)
+    for L in np.unique(sizes[sizes > cap]):
+        L = int(L)
+        rows = np.nonzero(sizes == L)[0]
+        offs = indptr[rows][:, None] + np.arange(L)[None, :]  # (m, L)
+        vals = np.abs(data[offs])
+        cols = indices[offs]
+        # Never drop the diagonal (it is the FSAI unit target).
+        vals[cols == rows[:, None]] = np.inf
+        drop = np.argpartition(vals, L - cap - 1, axis=1)[:, : L - cap]
+        keep_mask[np.take_along_axis(offs, drop, axis=1).reshape(-1)] = False
+    rows_np = np.repeat(np.arange(n, dtype=np.int64), sizes)[keep_mask]
+    cols_np = indices[keep_mask].astype(np.int64)
     return sp.csr_matrix(
         (np.ones(len(rows_np)), (rows_np, cols_np)), shape=pat.shape
     )
@@ -101,47 +109,54 @@ def build_fsai(
         k = int(k)
         if k <= 1:
             continue
-        rows = np.nonzero(sizes == k)[0]
-        m = len(rows)
-        # J: (m, k) pattern columns per row (sorted; diagonal is last
-        # since the pattern is lower-triangular with the diagonal kept).
-        J = indices[(indptr[rows][:, None] + np.arange(k)[None, :])].astype(np.int64)
-        # Extract the (m, k, k) local systems in one vectorized CSR
-        # element lookup (scipy does a per-element binary search in C).
-        ri = np.repeat(J, k, axis=1).reshape(m, k, k)  # ri[m,a,b] = J[m,a]
-        ci = np.tile(J, (1, k)).reshape(m, k, k)  # ci[m,a,b] = J[m,b]
-        sub = np.asarray(
-            aat_c[ri.reshape(-1), ci.reshape(-1)], dtype=np.float64
-        ).reshape(m, k, k)
-        sub[:, np.arange(k), np.arange(k)] += reg
-        e = np.zeros((m, k), np.float64)
-        e[:, -1] = 1.0
-        try:
-            # Explicit trailing vector dim: numpy's (m,k)-shaped rhs vs a
-            # (m,k,k) operand is ambiguous (matrix vs vector stack).
-            g = np.linalg.solve(sub, e[..., None])[..., 0]
-        except np.linalg.LinAlgError:
-            # Per-row fallback for the (rare) singular locals.
-            g = np.empty((m, k))
-            for t in range(m):
-                try:
-                    g[t] = np.linalg.solve(sub[t], e[t])
-                except np.linalg.LinAlgError:
-                    g[t] = 0.0
-                    g[t, -1] = 1.0 / max(sub[t, -1, -1], 1e-300)
-        gi = g[:, -1].copy()
-        # Rows whose local solve went negative/zero on the diagonal fall
-        # back to the Jacobi row (diagonal-only).
-        bad = ~(gi > 0)
-        if bad.any():
-            g[bad] = 0.0
-            dj = np.maximum(diag[rows[bad]] + reg, 1e-300)
-            g[bad, -1] = 1.0 / dj
-            gi[bad] = g[bad, -1]
-        g /= np.sqrt(gi)[:, None]
-        g_rows.append(np.repeat(rows, k))
-        g_cols.append(J.reshape(-1))
-        g_vals.append(g.reshape(-1))
+        rows_all = np.nonzero(sizes == k)[0]
+        # Bound the (m, k, k) extraction temporaries: scipy's fancy
+        # element lookup materializes ~5 index/value arrays of m*k*k
+        # entries; unchunked at cap=64 over 484k rows that is multi-GB
+        # (ADVICE r4). ~32M elements per chunk keeps it under ~1.5 GB.
+        chunk_rows = max(1, (32 << 20) // (k * k))
+        for c0 in range(0, len(rows_all), chunk_rows):
+            rows = rows_all[c0 : c0 + chunk_rows]
+            m = len(rows)
+            # J: (m, k) pattern columns per row (sorted; diagonal is last
+            # since the pattern is lower-triangular with the diagonal kept).
+            J = indices[(indptr[rows][:, None] + np.arange(k)[None, :])].astype(np.int64)
+            # Extract the (m, k, k) local systems in one vectorized CSR
+            # element lookup (scipy does a per-element binary search in C).
+            ri = np.repeat(J, k, axis=1).reshape(m, k, k)  # ri[m,a,b] = J[m,a]
+            ci = np.tile(J, (1, k)).reshape(m, k, k)  # ci[m,a,b] = J[m,b]
+            sub = np.asarray(
+                aat_c[ri.reshape(-1), ci.reshape(-1)], dtype=np.float64
+            ).reshape(m, k, k)
+            sub[:, np.arange(k), np.arange(k)] += reg
+            e = np.zeros((m, k), np.float64)
+            e[:, -1] = 1.0
+            try:
+                # Explicit trailing vector dim: numpy's (m,k)-shaped rhs vs a
+                # (m,k,k) operand is ambiguous (matrix vs vector stack).
+                g = np.linalg.solve(sub, e[..., None])[..., 0]
+            except np.linalg.LinAlgError:
+                # Per-row fallback for the (rare) singular locals.
+                g = np.empty((m, k))
+                for t in range(m):
+                    try:
+                        g[t] = np.linalg.solve(sub[t], e[t])
+                    except np.linalg.LinAlgError:
+                        g[t] = 0.0
+                        g[t, -1] = 1.0 / max(sub[t, -1, -1], 1e-300)
+            gi = g[:, -1].copy()
+            # Rows whose local solve went negative/zero on the diagonal fall
+            # back to the Jacobi row (diagonal-only).
+            bad = ~(gi > 0)
+            if bad.any():
+                g[bad] = 0.0
+                dj = np.maximum(diag[rows[bad]] + reg, 1e-300)
+                g[bad, -1] = 1.0 / dj
+                gi[bad] = g[bad, -1]
+            g /= np.sqrt(gi)[:, None]
+            g_rows.append(np.repeat(rows, k))
+            g_cols.append(J.reshape(-1))
+            g_vals.append(g.reshape(-1))
 
     G = sp.csr_matrix(
         (np.concatenate(g_vals), (np.concatenate(g_rows), np.concatenate(g_cols))),

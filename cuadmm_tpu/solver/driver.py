@@ -390,19 +390,30 @@ class SDPSolver:
 
         state = self._initial_state(X_s, y_s, S_s, sig)
 
+        # Memoize per projection value (keyed by repr: projection may be a
+        # per-bucket dict): _runner caches compiled chunk programs on the
+        # step OBJECT, so restoring the calibrated projection after a
+        # recovery probation must return the SAME step object or every
+        # chunk size recompiles (ADVICE r4) -- expensive on the
+        # remote-compile TPU platform.
+        step_memo: Dict[str, Any] = {}
+
         def mk_step(projection):
-            return make_step(
-                stop_tol=stop_tol,
-                switch_admm=cfg.switch_admm,
-                sig_update_threshold=cfg.sig_update_threshold,
-                sig_update_stage_1=cfg.sig_update_stage_1,
-                sig_min=cfg.sig_min,
-                sig_max=cfg.sig_max,
-                eigh_by_bucket=self._eigh_by_bucket,
-                mesh=self.mesh,
-                eig_rank=cfg.eig_rank,
-                projection=projection,
-            )
+            k = repr(projection)
+            if k not in step_memo:
+                step_memo[k] = make_step(
+                    stop_tol=stop_tol,
+                    switch_admm=cfg.switch_admm,
+                    sig_update_threshold=cfg.sig_update_threshold,
+                    sig_update_stage_1=cfg.sig_update_stage_1,
+                    sig_min=cfg.sig_min,
+                    sig_max=cfg.sig_max,
+                    eigh_by_bucket=self._eigh_by_bucket,
+                    mesh=self.mesh,
+                    eig_rank=cfg.eig_rank,
+                    projection=projection,
+                )
+            return step_memo[k]
 
         step = mk_step(self._projection)
 
@@ -459,6 +470,10 @@ class SDPSolver:
                 step = mk_step(self._projection)
                 eigh_until = -1
             chunk = min(cfg.check_every, chunk_cap(), max_iter - it_done)
+            # A chunk size's first execution pays compilation; timing it
+            # would shrink the adaptive cap and oscillate between sizes,
+            # compiling several distinct programs (ADVICE r4).
+            chunk_warm = (chunk, stop_tol, step) in self._chunk_runners
             runner = self._runner(step, chunk, stop_tol)
             # Profile one steady-state chunk (the second: the first chunk
             # pays compilation) -- the counterpart of the reference's
@@ -481,8 +496,9 @@ class SDPSolver:
                     profiled = True
             chunk_idx += 1
             info_np = np.asarray(info, dtype=np.float64)  # (chunk, 8)
-            # Skip the first chunk (pays compilation) when adapting.
-            if chunk_idx > 1:
+            # Only adapt on pre-warmed chunk sizes (compilation skews the
+            # wall time of a size's first execution).
+            if chunk_warm:
                 adapt_cap(chunk, time.perf_counter() - t_chunk)
             kkt = np.maximum(np.maximum(info_np[:, 2], info_np[:, 3]), info_np[:, 4])
             # Divergence guard: the reference surfaces residuals on the host
