@@ -154,7 +154,7 @@ class SolverConfig:
             raise ValueError(f"dtype must be float32 or float64, got {self.dtype}")
         if self.bucket_rounding not in ("pow2", "exact"):
             raise ValueError(f"bucket_rounding must be pow2 or exact, got {self.bucket_rounding}")
-        if self.normal_solver not in ("auto", "precond", "dense", "inv", "cg", "host", "packed", "split"):
+        if self.normal_solver not in ("auto", "precond", "dense", "inv", "cg", "host", "packed", "banded", "sharded", "split"):
             raise ValueError(f"unknown normal_solver {self.normal_solver}")
         if self.cg_precond not in ("auto", "fsai", "block_jacobi", "jacobi"):
             raise ValueError(f"unknown cg_precond {self.cg_precond}")

@@ -89,6 +89,33 @@ LAST_BUILD_TIMINGS: dict = {}
 # chip for solver state + projection pool.
 PACKED_MAX_CON = 73_000
 
+# Largest f32 band factor auto mode will place on a 16 GB chip. 14 GB
+# admits PushBox N=30 (154k cons, RCM bandwidth 20,512 -> 13.9 GB band at
+# B=1024) while leaving ~2 GB for state (its pool/tables are ~100 MB);
+# trajectory problems like pendulum N=80 (bandwidth 1,615 -> 1.4 GB) are
+# far under it.
+BAND_MAX_BYTES = int(14.2 * 2**30)
+
+
+def _rcm_bandwidth(aat) -> tuple:
+    """(bandwidth, permutation) of AA^T under reverse Cuthill-McKee.
+
+    Host-side O(nnz) probe; the permutation is identity-skipped by the
+    caller when RCM does not beat the natural ordering (already-banded
+    problems like pendulum arrive in knot-point order)."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    csr = aat.tocsr()
+    coo = aat.tocoo()
+    bw_nat = int(np.abs(coo.row - coo.col).max()) if coo.nnz else 0
+    perm = np.asarray(reverse_cuthill_mckee(csr, symmetric_mode=True))
+    pinv = np.empty_like(perm)
+    pinv[perm] = np.arange(len(perm))
+    bw_rcm = int(np.abs(pinv[coo.row] - pinv[coo.col]).max()) if coo.nnz else 0
+    if bw_nat <= bw_rcm:
+        return bw_nat, np.arange(aat.shape[0])
+    return bw_rcm, perm
+
 
 @dataclasses.dataclass
 class NormalEqSolver:
@@ -119,6 +146,21 @@ class NormalEqSolver:
     # dense-factor HBM ceiling (~45k f32 on a 16 GB chip).
     packed_tiles: Optional[jax.Array] = None
     packed_layout: Optional[tuple] = None
+    # banded: block-band Cholesky factor under an RCM row permutation
+    # (trajectory/chain SDPs have banded AA^T; see tri_stream's band
+    # section). band_perm maps solver row -> permuted row; the apply is
+    # y = perm^T . band_solve . perm.
+    band_tiles: Optional[jax.Array] = None
+    band_layout: Optional[tuple] = None
+    band_perm: Optional[jax.Array] = None
+    band_inv_perm: Optional[jax.Array] = None
+    # sharded: column-sharded (nb, nb, B, B) factor grid on a device
+    # mesh with the distributed Cholesky/solves of parallel/tri_shard.py
+    # -- the multi-chip normal-equation path for con_num past ANY
+    # single-chip factor budget.
+    shard_grid: Optional[jax.Array] = None
+    shard_mesh: Optional[object] = None
+    shard_axis: str = "blocks"
     # split: AA^T is exactly block-diagonal under a row permutation -- a
     # coupled set of ``split_p`` rows (dense factor in chol_l/inv_l) plus
     # pure-diagonal rows (tail_inv_diag). ANY AA^T splits this way (a row
@@ -186,6 +228,31 @@ class NormalEqSolver:
                 self.packed_tiles, r.astype(self.packed_tiles.dtype), lay,
                 interpret=interp,
             ).astype(r.dtype)
+        if self.band_tiles is not None:
+            from cuadmm_tpu.ops.tri_stream import BandLayout, band_solve
+
+            lay = BandLayout(*self.band_layout)
+            interp = jax.default_backend() not in ("tpu", "axon")
+            # band_perm is None when the natural ordering is already
+            # banded (pendulum): gathers at 112k rows cost ~0.8 ms each
+            # on TPU -- comparable to a whole band sweep -- so skip them.
+            rp = r if self.band_perm is None else r[self.band_perm]
+            y = band_solve(
+                self.band_tiles, rp.astype(self.band_tiles.dtype), lay,
+                interpret=interp,
+            ).astype(r.dtype)
+            return y if self.band_inv_perm is None else y[self.band_inv_perm]
+        if self.shard_grid is not None:
+            from cuadmm_tpu.parallel.tri_shard import sharded_tri_solve
+
+            n_pad = self.shard_grid.shape[0] * self.shard_grid.shape[2]
+            rp = r.astype(self.shard_grid.dtype)
+            if rp.shape[0] != n_pad:
+                rp = jnp.pad(rp, (0, n_pad - rp.shape[0]))
+            y = sharded_tri_solve(
+                self.shard_grid, rp, self.shard_mesh, self.shard_axis
+            )
+            return y[: r.shape[0]].astype(r.dtype)
         return self._apply_prefix(r)
 
     def _apply_prefix(self, r: jax.Array) -> jax.Array:
@@ -223,7 +290,7 @@ class NormalEqSolver:
         ).astype(r.dtype)
 
     def solve(self, rhs: jax.Array, warm: Optional[jax.Array] = None) -> jax.Array:
-        if self.mode in ("precond", "dense", "packed", "split"):
+        if self.mode in ("precond", "dense", "packed", "banded", "sharded", "split"):
             hp = jnp.dtype(self.refine_dtype)
             rhs_hp = rhs.astype(hp)
             y = jnp.zeros_like(rhs_hp) if warm is None else warm.astype(hp)
@@ -328,6 +395,10 @@ jax.tree_util.register_dataclass(
         "fsai_g",
         "fsai_gt",
         "packed_tiles",
+        "band_tiles",
+        "band_perm",
+        "band_inv_perm",
+        "shard_grid",
         "tail_inv_diag",
         "split_perm",
         "split_inv_perm",
@@ -341,7 +412,10 @@ jax.tree_util.register_dataclass(
         "eps_used",
         "refine_dtype",
         "packed_layout",
+        "band_layout",
         "split_p",
+        "shard_mesh",
+        "shard_axis",
     ],
 )
 
@@ -634,6 +708,8 @@ def build_normal_solver(
     cg_precond: str = "auto",
     fsai_cap: int = 64,
     fsai_pattern_power: int = 2,
+    mesh=None,
+    mesh_axis: str = "blocks",
 ) -> NormalEqSolver:
     """Factorize once at init (reference: src/solver.cu:91-96) and return a
     device-resident solver.
@@ -653,6 +729,7 @@ def build_normal_solver(
     # Keep any single CPU factor under that line.
     cpu_max_factor_bytes = 2**31 - 1
     aat_cached = None
+    band_probe = None  # (bandwidth, perm) from the auto-mode RCM probe
     if mode == "auto":
         # O(nnz) coupling probe, no AA^T product needed: an off-diagonal
         # AA^T entry requires two constraints sharing an svec column, so
@@ -674,11 +751,45 @@ def build_normal_solver(
             # (handles the singular AA^T of moment SDPs; f64 Cholesky is
             # software-emulated on TPU); true f64 Cholesky on CPU.
             mode = "precond" if (on_accel or jnp.dtype(dtype) == jnp.float32) else "dense"
-        elif on_accel and con_num <= PACKED_MAX_CON:
-            # Past the square-factor ceiling but the packed triangular
-            # factor (half the bytes) still fits HBM: streaming-TRSM
-            # mode (ops/tri_stream.py). Beyond ~70k fall to CG.
-            mode = "packed"
+        elif on_accel:
+            # Past the square-factor ceiling: packed triangle (half the
+            # square bytes, ops/tri_stream.py) vs band factor under an RCM
+            # permutation (trajectory SDPs have chain-banded AA^T --
+            # pendulum N=80's 112k cons fit in a 1.4 GB band vs an
+            # impossible 25 GB packed triangle). Pick whichever streams
+            # fewer bytes per solve and fits HBM; CG is the last resort.
+            aat_cached = build_aat_host(
+                at_svec_idx, at_con_idx, vals, con_num, vec_len
+            )
+            band_probe = _rcm_bandwidth(aat_cached)
+            bw = band_probe[0]
+            from cuadmm_tpu.ops import tri_stream as _ts
+
+            blay = _ts.make_band_layout(con_num, bw)
+            band_bytes = blay.T * blay.block * blay.block * 4
+            packed_bytes = (
+                _ts.make_layout(con_num).T * 1024 * 1024 * 4
+                if con_num <= PACKED_MAX_CON
+                else None
+            )
+            n_mesh = (
+                int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+            )
+            if packed_bytes is not None and packed_bytes <= band_bytes * 1.15:
+                # Packed wins or is close (no permutation, fewer
+                # programs); 15% slack avoids flapping on near-ties.
+                mode = "packed"
+            elif band_bytes <= BAND_MAX_BYTES:
+                mode = "banded"
+            elif packed_bytes is not None:
+                mode = "packed"
+            elif n_mesh > 1:
+                # No single-chip factor fits; a mesh is available --
+                # distribute the square factor grid over it
+                # (parallel/tri_shard.py).
+                mode = "sharded"
+            else:
+                mode = "cg"
         else:
             mode = "cg"
         if not on_accel:
@@ -931,6 +1042,157 @@ def build_normal_solver(
                 neq = _calibrate_applies(neq, con_num)
             _mark("calibrate")
             return neq
+
+    if mode == "banded":
+        from cuadmm_tpu.ops import pallas_gate, tri_stream
+
+        if on_accel and not pallas_gate.ok("band_solve", tri_stream.probe_band):
+            mode = "cg"  # Mosaic rejected the band kernels; degrade
+        else:
+            aat = (
+                aat_cached
+                if aat_cached is not None
+                else build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
+            )
+            if band_probe is None:
+                band_probe = _rcm_bandwidth(aat)
+            bw, perm = band_probe
+            pinv = np.empty_like(perm)
+            pinv[perm] = np.arange(con_num)
+            coo = aat.tocoo()
+            lay = tri_stream.make_band_layout(con_num, bw)
+            diag_mean = float(aat.diagonal().mean())
+            fac_dtype = jnp.float32 if on_accel else (
+                jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            )
+            # f32 factors need precond_eps-level jitter; f64 factors only
+            # the aat_eps floor (same rationale as split mode).
+            cur = (
+                max(precond_eps, 1e-5)
+                if fac_dtype == jnp.float32
+                else max(eps, 1e-12)
+            )
+            pr = pinv[coo.row]
+            pc = pinv[coo.col]
+            while True:
+                tiles = tri_stream.scatter_band_aat(
+                    pr, pc, coo.data, lay, cur, diag_mean, fac_dtype
+                )
+                tiles = tri_stream.band_cholesky(tiles, lay)
+                last_diag = tiles[
+                    tri_stream.tid_band(lay.nb - 1, lay.nb - 1, lay), -1, -1
+                ]
+                if bool(jnp.isfinite(last_diag)):
+                    break
+                cur *= 10.0
+                if cur > 1e-1:
+                    raise RuntimeError(
+                        "band AA^T Cholesky failed even with jitter 1e-1"
+                    )
+            _mark("band_factorize")
+            LAST_BUILD_TIMINGS["band_bw"] = int(bw)
+            LAST_BUILD_TIMINGS["band_layout"] = (
+                f"nb={lay.nb} nbw={lay.nbw} B={lay.block} "
+                f"bytes={lay.T * lay.block * lay.block * 4}"
+            )
+            refine = "float64" if jax.config.jax_enable_x64 else "float32"
+            refine_sa = sa_hp
+            if on_accel and jnp.dtype(dtype) == jnp.float32:
+                refine = "float32"
+                refine_sa = sparse_a
+            identity = bool(np.array_equal(perm, np.arange(con_num)))
+            neq = NormalEqSolver(
+                mode="banded",
+                chol_l=None,
+                inv_diag=None,
+                bj_inv=None,
+                sparse_a=refine_sa,
+                cg_tol=cg_tol,
+                cg_max_iter=cg_max_iter,
+                applies=max(applies, 1),
+                eps_used=cur,
+                band_tiles=tiles,
+                band_layout=tuple(lay),
+                band_perm=None if identity else jnp.asarray(perm, jnp.int32),
+                band_inv_perm=None if identity else jnp.asarray(pinv, jnp.int32),
+                refine_dtype=refine,
+            )
+            if applies <= 0:
+                neq = _calibrate_applies(neq, con_num)
+            _mark("calibrate")
+            return neq
+
+    if mode == "sharded":
+        if mesh is None:
+            raise ValueError("normal_solver='sharded' requires a device mesh")
+        from cuadmm_tpu.parallel import tri_shard as _tsd
+
+        aat = (
+            aat_cached
+            if aat_cached is not None
+            else build_aat_host(at_svec_idx, at_con_idx, vals, con_num, vec_len)
+        )
+        n_mesh = int(np.prod(list(mesh.shape.values())))
+        # Block size: big tiles amortize the per-step psum, but nb must be
+        # a multiple of the axis size; small problems (tests/dryrun) get
+        # proportionally small tiles.
+        blk = 1024 if con_num >= 64 * 1024 else max(
+            64, 1 << max(0, (con_num // (4 * n_mesh)).bit_length() - 1)
+        )
+        blk = min(blk, 1024)
+        nb, n_pad = _tsd.make_grid_layout(con_num, mesh.shape[mesh_axis], blk)
+        fac_dtype = np.float32 if on_accel else (
+            np.float64 if jax.config.jax_enable_x64 else np.float32
+        )
+        diag_mean = float(aat.diagonal().mean())
+        cur = (
+            max(precond_eps, 1e-5)
+            if fac_dtype == np.float32
+            else max(eps, 1e-12)
+        )
+        while True:
+            grid = _tsd.sharded_scatter_aat(
+                aat, con_num, nb, blk, mesh, axis=mesh_axis,
+                eps=cur, diag_mean=diag_mean, dtype=fac_dtype,
+            )
+            grid = _tsd.sharded_cholesky(grid, mesh, mesh_axis)
+            probe_diag = jax.device_get(grid[nb - 1, nb - 1, -1, -1])
+            if bool(np.isfinite(probe_diag)):
+                break
+            cur *= 10.0
+            if cur > 1e-1:
+                raise RuntimeError(
+                    "sharded AA^T Cholesky failed even with jitter 1e-1"
+                )
+        _mark("sharded_factorize")
+        LAST_BUILD_TIMINGS["sharded_layout"] = (
+            f"nb={nb} B={blk} devices={n_mesh} "
+            f"bytes_per_dev={nb * nb * blk * blk * 4 // n_mesh}"
+        )
+        refine = "float64" if jax.config.jax_enable_x64 else "float32"
+        refine_sa = sa_hp
+        if on_accel and jnp.dtype(dtype) == jnp.float32:
+            refine = "float32"
+            refine_sa = sparse_a
+        neq = NormalEqSolver(
+            mode="sharded",
+            chol_l=None,
+            inv_diag=None,
+            bj_inv=None,
+            sparse_a=refine_sa,
+            cg_tol=cg_tol,
+            cg_max_iter=cg_max_iter,
+            applies=max(applies, 1),
+            eps_used=cur,
+            shard_grid=grid,
+            shard_mesh=mesh,
+            shard_axis=mesh_axis,
+            refine_dtype=refine,
+        )
+        if applies <= 0:
+            neq = _calibrate_applies(neq, con_num)
+        _mark("calibrate")
+        return neq
 
     if mode == "cg":
         aat = (

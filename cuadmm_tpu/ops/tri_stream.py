@@ -418,3 +418,292 @@ def probe(interpret: bool = False) -> None:
     err = np.linalg.norm(np.asarray(y) - ref) / np.linalg.norm(ref)
     if not err < 1e-4:
         raise RuntimeError(f"packed_solve probe error {err:.2e}")
+
+
+# ----------------------------------------------------------------------
+# Banded-blocked factor: the SPOT/trajectory problems are chain-structured
+# (constraints couple only across adjacent knot points), so AA^T under an
+# RCM ordering is BANDED -- pendulum N=80 (112,028 cons) has scalar
+# bandwidth 1,615 and PushBox N=30 (154,256 cons) 20,512 (measured,
+# round 5). A banded factor stores nb*(nbw+1) tiles instead of the packed
+# triangle's nb(nb+1)/2: pendulum drops from a physically-impossible
+# 25 GB packed factor to 1.4 GB, PushBox N=30 from 47 GB to ~13 GB --
+# both under the single-chip HBM line the reference needs CHOLMOD's
+# host-side sparse factor for (include/cuadmm/cholesky_cpu.h:62-155).
+# Banded Cholesky produces zero fill outside the band, so the same
+# right-looking elimination steps (_diag_panel_step/_pair_chunk_step)
+# apply verbatim; the streaming solves reuse the packed kernels' bodies
+# with an explicit tile-order prefetch (rows no longer start at j=0).
+# ----------------------------------------------------------------------
+
+
+class BandLayout(NamedTuple):
+    """Static description of a banded-blocked lower factor."""
+
+    n: int  # logical dimension
+    n_pad: int  # nb * block
+    block: int
+    nb: int  # number of block rows
+    nbw: int  # block bandwidth: tile (i, j) may be nonzero iff i-j <= nbw
+    T: int  # nb * (nbw + 1) allocated band slots (some top-left unused)
+
+
+def make_band_layout(n: int, bw: int, block: int = 0) -> BandLayout:
+    """Layout for scalar bandwidth ``bw``; picks the block size in
+    {256, 512, 1024} minimizing a sweep-time model: tile bytes at HBM
+    speed (~800 GB/s) plus a ~3 us per-grid-step overhead. Smaller tiles
+    track the scalar band tighter (fewer bytes) but multiply the step
+    count; the model keeps 1024 unless the byte saving genuinely pays."""
+    if block <= 0:
+        best = None
+        for B in (1024, 512, 256):
+            nb = -(-n // B)
+            nbw = min(nb - 1, (bw + B - 1) // B)
+            T = nb * (nbw + 1)
+            t_model = T * B * B * 4 / 800e9 + T * 3e-6
+            if best is None or t_model < best[0]:
+                best = (t_model, B)
+        block = best[1]
+    nb = -(-n // block)
+    nbw = min(nb - 1, (bw + block - 1) // block)
+    return BandLayout(
+        n=n, n_pad=nb * block, block=block, nb=nb, nbw=nbw, T=nb * (nbw + 1)
+    )
+
+
+def tid_band(i, j, lay: BandLayout):
+    """Band slot of tile (i, j), i - nbw <= j <= i (row-major band)."""
+    return i * (lay.nbw + 1) + (lay.nbw - (i - j))
+
+
+def scatter_band_aat(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    lay: BandLayout,
+    eps: float,
+    diag_mean: float,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Device band tiles of (permuted) AA^T + eps*scale*I from COO.
+
+    ``rows``/``cols`` are indices AFTER the bandwidth-reducing permutation;
+    entries outside the band are an error (the caller computed the
+    bandwidth from this exact pattern). Padding rows get a unit diagonal.
+    """
+    keep = rows >= cols
+    r, c, v = rows[keep], cols[keep], vals[keep]
+    bi, bj = r // lay.block, c // lay.block
+    if len(bi) and int((bi - bj).max()) > lay.nbw:
+        raise ValueError("entry outside the declared band")
+    t = (bi * (lay.nbw + 1) + (lay.nbw - (bi - bj))).astype(np.int64)
+    ri, ci = r % lay.block, c % lay.block
+
+    scale = max(float(diag_mean), 1.0)
+    all_d = np.arange(lay.n_pad, dtype=np.int64)
+    t_d = (all_d // lay.block) * (lay.nbw + 1) + lay.nbw
+    rd = all_d % lay.block
+    vd = np.full(lay.n_pad, eps * scale)
+    vd[lay.n :] = 1.0
+
+    t = np.concatenate([t, t_d])
+    ri = np.concatenate([ri, rd])
+    ci = np.concatenate([ci, rd])
+    v = np.concatenate([v, vd])
+
+    @functools.partial(jax.jit, static_argnames=("shape",))
+    def scatter(t, ri, ci, v, shape):
+        tiles = jnp.zeros(shape, dtype)
+        return tiles.at[t, ri, ci].add(v)
+
+    # T + 1: trailing sentinel tile for the padded elimination steps.
+    return scatter(
+        jnp.asarray(t, jnp.int32),
+        jnp.asarray(ri, jnp.int32),
+        jnp.asarray(ci, jnp.int32),
+        jnp.asarray(v, dtype),
+        shape=(lay.T + 1, lay.block, lay.block),
+    )
+
+
+def band_cholesky(tiles: jax.Array, lay: BandLayout) -> jax.Array:
+    """Right-looking blocked Cholesky within the band; diagonal tiles come
+    out INVERTED. Reuses the packed elimination steps -- banded Cholesky
+    has no fill outside the band, so after eliminating column k only
+    tiles (i, j) with k < j <= i <= k + nbw update, all in-band."""
+    nb, nbw = lay.nb, lay.nbw
+    sentinel = lay.T
+    for k in range(nb):
+        m = min(nbw, nb - 1 - k)
+        m_pad = _pow2_at_least(max(m, 1))
+        col = np.full(m_pad, sentinel, np.int32)
+        col[:m] = [tid_band(i, k, lay) for i in range(k + 1, k + m + 1)]
+        tiles, panel = _diag_panel_step(
+            tiles, np.int32(tid_band(k, k, lay)), jnp.asarray(col)
+        )
+        if m:
+            pi, pj, dst = [], [], []
+            for i in range(k + 1, k + m + 1):
+                for j in range(k + 1, i + 1):
+                    pi.append(i - k - 1)
+                    pj.append(j - k - 1)
+                    dst.append(tid_band(i, j, lay))
+            total = _pow2_at_least(len(dst))
+            pi_p = np.zeros(total, np.int32)
+            pj_p = np.zeros(total, np.int32)
+            dst_p = np.full(total, sentinel, np.int32)
+            pi_p[: len(pi)] = pi
+            pj_p[: len(pj)] = pj
+            dst_p[: len(dst)] = dst
+            tiles = _pair_chunk_step(
+                tiles, panel, jnp.asarray(pi_p), jnp.asarray(pj_p),
+                jnp.asarray(dst_p),
+            )
+    return tiles
+
+
+def _fwd_band_kernel(
+    order_ref, row_ref, col_ref, first_ref, r_ref, tile_ref, x_ref, acc_ref
+):
+    """Forward solve over band tiles: identical to _fwd_kernel except the
+    row-start test is an explicit flag (band rows start at j = i - nbw,
+    not 0) and tiles stream via the order prefetch."""
+    g = pl.program_id(0)
+    i = row_ref[g]
+    j = col_ref[g]
+    B = acc_ref.shape[1]
+    tile = tile_ref[0]
+
+    @pl.when(first_ref[g] == 1)
+    def _init():
+        acc_ref[...] = r_ref[:, pl.ds(i * B, B)]
+
+    @pl.when(j < i)
+    def _sub():
+        xj = x_ref[:, pl.ds(j * B, B)]
+        acc_ref[...] -= _mv_lanes(tile, xj)
+
+    @pl.when(j == i)
+    def _diag():
+        x_ref[:, pl.ds(i * B, B)] = _mv_lanes(tile, acc_ref[...])
+
+
+def _fwd_band_meta(lay: BandLayout):
+    order, rows, cols, first = [], [], [], []
+    for i in range(lay.nb):
+        j0 = max(0, i - lay.nbw)
+        for pos, j in enumerate(range(j0, i + 1)):
+            order.append(tid_band(i, j, lay))
+            rows.append(i)
+            cols.append(j)
+            first.append(1 if pos == 0 else 0)
+    return (
+        np.asarray(order, np.int32),
+        np.asarray(rows, np.int32),
+        np.asarray(cols, np.int32),
+        np.asarray(first, np.int32),
+    )
+
+
+def _bwd_band_meta(lay: BandLayout):
+    order, rows, cols, first = [], [], [], []
+    for i in range(lay.nb - 1, -1, -1):  # column being solved
+        jhi = min(lay.nb - 1, i + lay.nbw)
+        for pos, j in enumerate(range(jhi, i - 1, -1)):  # block row
+            order.append(tid_band(j, i, lay))
+            rows.append(j)
+            cols.append(i)
+            first.append(1 if pos == 0 else 0)
+    return (
+        np.asarray(order, np.int32),
+        np.asarray(rows, np.int32),
+        np.asarray(cols, np.int32),
+        np.asarray(first, np.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("lay", "interpret"))
+def band_solve(
+    tiles: jax.Array, r: jax.Array, lay: BandLayout, interpret: bool = False
+) -> jax.Array:
+    """y = (L L^T)^{-1} r via two streaming sweeps over the band factor."""
+    B = lay.block
+    of, rf, cf, ff = _fwd_band_meta(lay)
+    ob, rb, cb, fb = _bwd_band_meta(lay)
+    G = len(of)
+
+    rp = r.astype(tiles.dtype)
+    if lay.n_pad != r.shape[0]:
+        rp = jnp.pad(rp, (0, lay.n_pad - r.shape[0]))
+    rp = rp.reshape(1, lay.n_pad)
+
+    z = np.int32(0)
+
+    def mk(kernel):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(G,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, lay.n_pad), lambda g, oo, rr, cc, ff: (z, z),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, B, B), lambda g, oo, rr, cc, ff: (oo[g], z, z)
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, lay.n_pad), lambda g, oo, rr, cc, ff: (z, z),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[pltpu.VMEM((1, B), tiles.dtype)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((1, lay.n_pad), tiles.dtype),
+            interpret=interpret,
+        )
+
+    x = mk(_fwd_band_kernel)(
+        jnp.asarray(of), jnp.asarray(rf), jnp.asarray(cf), jnp.asarray(ff),
+        rp, tiles,
+    )
+    y = mk(_bwd_kernel)(
+        jnp.asarray(ob), jnp.asarray(rb), jnp.asarray(cb), jnp.asarray(fb),
+        x, tiles,
+    )
+    return y.reshape(lay.n_pad)[: r.shape[0]].astype(r.dtype)
+
+
+def probe_band(interpret: bool = False) -> None:
+    """Tiny real compile+run of the band solve kernels (pallas_gate
+    probe): 4 block rows, block bandwidth 1, so first/sub/diag paths and
+    the unused top-left slots all exercise."""
+    rng = np.random.default_rng(0)
+    n, B = 512, 128
+    lay = make_band_layout(n, bw=128, block=B)
+    a = np.zeros((n, n), np.float32)
+    for i in range(lay.nb):
+        for j in range(max(0, i - 1), i + 1):
+            blkv = rng.standard_normal((B, B)).astype(np.float32)
+            a[i * B : (i + 1) * B, j * B : (j + 1) * B] = blkv
+    p = (a @ a.T + n * np.eye(n)).astype(np.float32)
+    # Zero outside the band to make p exactly banded, then factor.
+    for i in range(lay.nb):
+        for j in range(lay.nb):
+            if abs(i - j) > 1:
+                p[i * B : (i + 1) * B, j * B : (j + 1) * B] = 0.0
+    l = np.linalg.cholesky(p)
+    tiles = np.zeros((lay.T + 1, B, B), np.float32)
+    for i in range(lay.nb):
+        for j in range(max(0, i - 1), i + 1):
+            blk = l[i * B : (i + 1) * B, j * B : (j + 1) * B]
+            tiles[tid_band(i, j, lay)] = (
+                np.linalg.inv(blk) if i == j else blk
+            )
+    r = rng.standard_normal(n).astype(np.float32)
+    y = band_solve(jnp.asarray(tiles), jnp.asarray(r), lay, interpret=interpret)
+    ref = np.linalg.solve(p, r)
+    err = np.linalg.norm(np.asarray(y) - ref) / np.linalg.norm(ref)
+    if not err < 1e-4:
+        raise RuntimeError(f"band_solve probe error {err:.2e}")

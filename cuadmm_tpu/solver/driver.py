@@ -200,6 +200,7 @@ class SDPSolver:
             cg_precond=cfg.cg_precond,
             fsai_cap=cfg.fsai_cap,
             fsai_pattern_power=cfg.fsai_pattern_power,
+            mesh=self.mesh,
         )
         mark("normal_solver")
         self.init_breakdown.update(

@@ -176,3 +176,86 @@ def test_packed_mode_normal_solver():
     y = jax.jit(neq.solve)(rhs)
     res = float(neq.residual_norm(rhs, y))
     assert res < 1e-8, res
+
+
+# ----------------------------------------------------------------------
+# Banded mode (round 5): chain-structured AA^T under an RCM ordering.
+# ----------------------------------------------------------------------
+
+
+def _chain_A(n, vec_len_per=6, coupling=30, seed=3):
+    """Sparse A whose AA^T is banded: constraint i touches svec columns
+    in a window that slides with i (a trajectory/knot-point structure)."""
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    vec_len = n * 2 + coupling + vec_len_per
+    for i in range(n):
+        base = 2 * i
+        for k in rng.choice(coupling + vec_len_per, size=4, replace=False):
+            rows.append(i)
+            cols.append(base + int(k))
+            vals.append(rng.standard_normal())
+    return sp.csr_matrix(
+        (vals, (rows, cols)), shape=(n, vec_len)
+    ), vec_len
+
+
+def test_band_cholesky_and_solve_match_dense():
+    from cuadmm_tpu.ops.tri_stream import (
+        band_cholesky,
+        band_solve,
+        make_band_layout,
+        scatter_band_aat,
+        tid_band,
+    )
+
+    A, _ = _chain_A(500)
+    aat = (A @ A.T).tocoo()
+    bw = int(np.abs(aat.row - aat.col).max())
+    lay = make_band_layout(500, bw, block=64)
+    dm = float((A @ A.T).diagonal().mean())
+    tiles = scatter_band_aat(
+        aat.row.astype(np.int64), aat.col.astype(np.int64), aat.data,
+        lay, 1e-8, dm, jnp.float64,
+    )
+    tiles = band_cholesky(tiles, lay)
+    rng = np.random.default_rng(0)
+    r = rng.standard_normal(500)
+    y = np.asarray(band_solve(tiles, jnp.asarray(r), lay, interpret=True))
+    dense = (A @ A.T).todense() + 1e-8 * max(dm, 1.0) * np.eye(500)
+    ref = np.linalg.solve(dense, r)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-7
+
+
+def test_probe_band_interpret():
+    from cuadmm_tpu.ops.tri_stream import probe_band
+
+    probe_band(interpret=True)
+
+
+@pytest.mark.parametrize("shuffle", [False, True])
+def test_banded_mode_normal_solver(shuffle):
+    """mode='banded': refinement accuracy on a chain AA^T; with the rows
+    shuffled the RCM permutation must recover the banded ordering."""
+    from cuadmm_tpu.ops import chol as chol_ops
+    from cuadmm_tpu.ops import sparse as sparse_ops
+
+    rng = np.random.default_rng(7)
+    A, vec_len = _chain_A(400)
+    if shuffle:
+        p = rng.permutation(400)
+        A = A[p]
+    con = 400
+    coo = A.tocoo()
+    r, c, v = coo.col.astype(np.int64), coo.row.astype(np.int64), coo.data
+    sa = sparse_ops.build_sparse_a(r, c, v, con, vec_len, jnp.float64)
+    neq = chol_ops.build_normal_solver(
+        r, c, v, con, vec_len, sa, "banded", jnp.float64, applies=2
+    )
+    assert neq.mode == "banded" and neq.band_tiles is not None
+    if shuffle:
+        assert neq.band_perm is not None
+    rhs = jnp.asarray(A @ rng.standard_normal(vec_len))  # consistent
+    y = jax.jit(neq.solve)(rhs)
+    res = float(neq.residual_norm(rhs, y))
+    assert res < 1e-8, res

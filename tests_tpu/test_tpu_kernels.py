@@ -117,3 +117,42 @@ def test_tiny_e2e_solve(tpu):
     res = solver.solve(max_iter=40_000)
     assert res.converged
     assert abs(res.pobj - 132.6356895) / (1 + 132.6356895) < 5e-3
+
+
+def test_band_solve_mosaic(tpu):
+    """Band streaming solves compile under Mosaic (x64 on) and a full
+    scatter -> band_cholesky -> band_solve pipeline reaches f32
+    refinement-grade accuracy (round-5 banded mode, ops/tri_stream.py)."""
+    import scipy.sparse as sp
+
+    from cuadmm_tpu.ops.tri_stream import (
+        band_cholesky,
+        band_solve,
+        make_band_layout,
+        probe_band,
+        scatter_band_aat,
+    )
+
+    probe_band()  # hand-built banded factor through both kernels
+
+    rng = np.random.default_rng(2)
+    n = 600
+    rows = np.repeat(np.arange(n), 3)
+    cols = np.clip(rows + rng.integers(-40, 41, size=len(rows)), 0, n - 1)
+    A = sp.csr_matrix(
+        (rng.standard_normal(len(rows)), (rows, cols)), shape=(n, n)
+    )
+    aat = (A @ A.T).tocoo()
+    bw = int(np.abs(aat.row - aat.col).max())
+    lay = make_band_layout(n, bw, block=128)
+    dm = float((A @ A.T).diagonal().mean())
+    tiles = scatter_band_aat(
+        aat.row.astype(np.int64), aat.col.astype(np.int64), aat.data,
+        lay, 1e-5, dm, jnp.float32,
+    )
+    tiles = band_cholesky(tiles, lay)
+    r = rng.standard_normal(n)
+    y = np.asarray(band_solve(tiles, jnp.asarray(r, jnp.float32), lay))
+    dense = (A @ A.T).todense() + 1e-5 * max(dm, 1.0) * np.eye(n)
+    ref = np.linalg.solve(dense, r)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-2
