@@ -14,7 +14,7 @@ Public API:
 
 from cuadmm_tpu.config import SolverConfig
 from cuadmm_tpu.problem import Problem
-from cuadmm_tpu.solver.driver import SDPResult, SDPSolver, solve
+from cuadmm_tpu.solver.driver import SDPResult, SDPSolver, solve, solve_escalated
 from cuadmm_tpu.structure import BlockStructure
 
 __version__ = "0.1.0"

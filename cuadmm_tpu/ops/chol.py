@@ -41,6 +41,18 @@ Everything here is device-resident:
   leading prefix (QUASAR: 5001 coupled + 751,500 diagonal rows), a dense
   prefix factor plus diagonal tail is an EXACT direct solve at any
   con_num. Auto-detected by a structural probe.
+- ``banded``: trajectory/chain SDPs have banded AA^T under an RCM row
+  permutation (pendulum N=80: bandwidth 1,615 of 112,028 rows). A
+  block-band factor stores nb*(nbw+1) tiles vs the packed triangle's
+  nb(nb+1)/2 -- both far fewer bytes per solve and coverage past the
+  packed HBM ceiling (PushBox N=30's 154k rows fit in 13 GB). Same
+  streaming-sweep application and refinement as packed. Auto mode
+  probes the RCM bandwidth for every past-dense-ceiling problem.
+- ``sharded``: distributed blocked Cholesky + triangular solves over a
+  jax.sharding.Mesh (parallel/tri_shard.py) -- for con_num past ANY
+  single-chip factor budget when a mesh is available. The reference
+  has no analog (CHOLMOD is host-only; the duo solver only splits the
+  moment eig).
 - ``cg``: preconditioned conjugate gradient in f64 using only sparse
   matvecs, FSAI-preconditioned (ops/fsai.py) with block-Jacobi fallback.
   Last resort: ELL matvecs are gather-bound on TPU (~7 cycles/element),

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import warnings
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -615,3 +616,69 @@ class SDPSolver:
 def solve(problem: Problem, config: SolverConfig = SolverConfig(), **kw) -> SDPResult:
     """One-shot convenience wrapper."""
     return SDPSolver(problem, config).solve(**kw)
+
+
+def solve_escalated(
+    problem: Problem,
+    config: SolverConfig = SolverConfig(),
+    max_iter: Optional[int] = None,
+    stop_tol: Optional[float] = None,
+    mesh=None,
+) -> SDPResult:
+    """Mixed-precision ladder: f32 solve, then an f64 warm-continued tail
+    when the f32 state floor blocks convergence.
+
+    Some instances (rose13: relgap tracks feasibility, which f32 state
+    floors at errRp ~ 3e-5) satisfy maxfeas < tol quickly but cannot
+    close the duality gap in f32: the gap is <S, X> of separately-rounded
+    f32 iterates. The reference runs end-to-end f64 (src/solver.cu);
+    on TPU f64 is emulated at ~2.4x the f32 per-iteration cost, so the
+    cheap phase should do every iteration it can first. Escalation
+    re-inits in f64 (one extra init) and warm-starts from the f32 best
+    iterate -- measured on rose13 the f64 tail converges where 100k f32
+    iterations stall at relgap 1.6%.
+
+    Returns the final (f64) result when escalation fires, with
+    ``iterations`` accumulated across both phases.
+    """
+    cfg32 = (
+        config
+        if jnp.dtype(config.dtype) == jnp.float32
+        else dataclasses.replace(config, dtype="float32")
+    )
+    max_iter = cfg32.max_iter if max_iter is None else int(max_iter)
+    stop_tol = cfg32.stop_tol if stop_tol is None else float(stop_tol)
+    s32 = SDPSolver(problem, cfg32, mesh=mesh)
+    res = s32.solve(max_iter=max_iter, stop_tol=stop_tol)
+    # Escalate when f32 plausibly hit its precision limits rather than a
+    # genuine algorithmic stall: feasibility met with only the gap open
+    # (rose13), a tolerance below what f32 state can certify at all
+    # (~1e-5), or divergence that survived the in-dtype auto-recoveries.
+    floor_hit = (
+        np.isfinite(res.relgap)
+        and (max(res.errRp, res.errRd) < stop_tol or stop_tol <= 1e-5)
+    )
+    if res.converged or not (floor_hit or res.diverged):
+        return res
+    if not jax.config.jax_enable_x64:
+        warnings.warn(
+            "solve_escalated: f32 hit its precision limit but x64 is "
+            "disabled; returning the f32 result."
+        )
+        return res
+    cfg64 = dataclasses.replace(config, dtype="float64")
+    s64 = SDPSolver(problem, cfg64, mesh=mesh)
+    warm = {} if res.diverged else dict(
+        X0=res.X, y0=res.y, S0=res.S, sig=res.sig
+    )
+    res64 = s64.solve(
+        max_iter=max(max_iter - res.iterations, 1),
+        stop_tol=stop_tol,
+        **warm,
+    )
+    res64 = dataclasses.replace(
+        res64,
+        iterations=res.iterations + res64.iterations,
+        total_time=res.total_time + res64.total_time,
+    )
+    return res64

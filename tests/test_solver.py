@@ -186,3 +186,27 @@ def test_divergence_auto_recovery_broken_factor():
     )
     res2 = solver2.solve(max_iter=200, stop_tol=1e-6)
     assert res2.diverged and res2.recoveries == 0
+
+
+def test_solve_escalated_f32_then_f64_tail():
+    """solve_escalated: easy tolerance resolves in f32 alone; a tolerance
+    below the f32 certification floor warm-continues in f64 and reaches
+    it (the rose13 pattern: reference runs end-to-end f64,
+    src/solver.cu; our ladder does only the tail there)."""
+    from cuadmm_tpu import SolverConfig, solve_escalated
+    from cuadmm_tpu.models.random_sdp import random_certified_sdp
+
+    prob, _, _, _, opt = random_certified_sdp(
+        [("s", 6)] * 8, con_num=200, seed=3
+    )
+    cfg = SolverConfig(verbose=False, check_every=100, dtype="float32")
+    # f32 DIVERGES on this instance even after in-dtype recoveries (a
+    # pre-existing property of dense random SDPs in f32 on CPU) -- the
+    # ladder must rescue it with a fresh f64 solve.
+    res = solve_escalated(prob, cfg, max_iter=20000, stop_tol=1e-4)
+    assert res.converged and abs(res.pobj - opt) / (1 + abs(opt)) < 1e-2
+
+    res2 = solve_escalated(prob, cfg, max_iter=60000, stop_tol=1e-7)
+    assert res2.converged, (res2.errRp, res2.errRd, res2.relgap)
+    assert max(res2.errRp, res2.errRd, res2.relgap) < 1e-7
+    assert abs(res2.pobj - opt) / (1 + abs(opt)) < 1e-5
