@@ -123,11 +123,14 @@ PROBLEMS = {
         {},
     ),
     # Pendulum N=80 (112,028 cons): SeDuMi struct nested in SDP.sedumi.
-    # Reference log examples/pendulum/N=80_licols.log: 0.0222 s/iter,
-    # 2218.7 s total, best max KKT after switch 1.5e-4.
+    # Reference log examples/pendulum/N=80_licols.log: 0.0222 s/iter; the
+    # run chased a ~1e-4 tolerance to max_iter (2218.7 s, best KKT
+    # 1.5e-4) but CROSSED the 1e-3 tolerance this table solves to at
+    # iteration 6,500 / 166.4 s -- that is the tolerance-matched bar.
     "pendulum_n80": (
         "pendulum", f"{REF}/pendulum/MATLAB/N=80_licols.mat",
-        {"ref_total_s": 2218.7, "ref_s_per_iter": 0.0222},
+        {"ref_total_s": 166.4, "ref_s_per_iter": 0.0222,
+         "ref_total_s_tol1e4_maxiter": 2218.7},
     ),
     # DIMACS hinf12/13: complete TXT exports; no benchmarks.csv row or
     # reference log -- KKT-gated only.

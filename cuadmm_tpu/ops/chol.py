@@ -109,6 +109,24 @@ PACKED_MAX_CON = 73_000
 BAND_MAX_BYTES = int(14.2 * 2**30)
 
 
+def _refine_aat_tbl(aat, con_num, nnz_a, vec_len, refine_dtype):
+    """Direct con->con ELL table of AA^T for the refinement matvec, or
+    None when the composed A(A^T y) product is cheaper (both paths are
+    gather-bound at ~7 cycles/element on v5e; the composed product
+    touches 2*nnz(A) gathers plus a pool-length scatter+gather)."""
+    if aat.nnz >= 2 * nnz_a + 2 * vec_len:
+        return None
+    coo = aat.tocoo()
+    return _build_ell(
+        coo.row.astype(np.int64),
+        coo.col.astype(np.int64),
+        coo.data,
+        con_num,
+        con_num,
+        jnp.dtype(refine_dtype),
+    )
+
+
 def _rcm_bandwidth(aat) -> tuple:
     """(bandwidth, permutation) of AA^T under reverse Cuthill-McKee.
 
@@ -306,11 +324,16 @@ class NormalEqSolver:
             hp = jnp.dtype(self.refine_dtype)
             rhs_hp = rhs.astype(hp)
             y = jnp.zeros_like(rhs_hp) if warm is None else warm.astype(hp)
-            # Refinement against the exact AA^T: each sweep costs one
-            # factor application plus two sparse matvecs and contracts the
-            # residual by ~eps_used (consistent rhs).
+            # Refinement against the exact AA^T. _op() prefers the direct
+            # con->con ELL table when one was built: composing A (A^T y)
+            # routes through the pool-length intermediate (2 gather passes
+            # + a scatter) and cost 15 ms/pair on pendulum N=80 -- 3x the
+            # band solve it was refining; the direct 675k-nnz table is
+            # ~5 ms. Modes whose AA^T is dense-ish (PushT: 8.5M nnz)
+            # keep the composed product (build-side heuristic).
+            op = self._op()
             for _ in range(self.applies):
-                r = rhs_hp - _aat_matvec(self.sparse_a, y)
+                r = rhs_hp - op(y).astype(hp)
                 y = y + self._apply_factor(r).astype(hp)
             return y.astype(rhs.dtype)
         if self.mode == "cg":
@@ -611,48 +634,76 @@ def _tri_inv(l: jax.Array, block: int = 2048) -> jax.Array:
     return inv(l)
 
 
-def _calibrate_applies(neq: NormalEqSolver, con_num: int, max_applies: int = 6):
+def _calibrate_applies(
+    neq: NormalEqSolver,
+    con_num: int,
+    max_applies: int = 6,
+    target: Optional[float] = None,
+):
     """Pick the refinement sweep count **on the device that will run it**.
 
     Runs the real solve path on a consistent probe rhs = (AA^T) v and takes
     the smallest sweep count whose measured relative residual beats a
-    dtype-aware target. This is the on-chip factor sanity check the
-    round-2 bench lacked: a corrupted or precision-starved factor shows up
-    here, at init, not as a NaN 60 s into the solve. Raises if even
-    ``max_applies`` sweeps cannot reach 1e-2 (the factor is unusable --
-    reference bar: CHOLMOD's exact f64 host solves, cholesky_cpu.h:62-155).
+    target. This is the on-chip factor sanity check the round-2 bench
+    lacked: a corrupted or precision-starved factor shows up here, at
+    init, not as a NaN 60 s into the solve. Raises if even ``max_applies``
+    sweeps cannot reach 1e-2 (the factor is unusable -- reference bar:
+    CHOLMOD's exact f64 host solves, cholesky_cpu.h:62-155).
+
+    ``target``: defaults to 1e-10 (f64 refinement) / 1e-5 (f32). The
+    driver passes a stop_tol-aware value: ADMM only needs the solve
+    residual well under the convergence tolerance, and every extra sweep
+    costs a full factor read per iteration (pendulum N=80: applies 2 -> 1
+    took the solve from 23 to 12 ms with an identical errRp/errRd
+    trajectory over 600 iterations).
+
+    All ``max_applies`` sweeps run in one device program and the residual
+    curve comes back in ONE host fetch (device->host latency on the
+    tunneled platform is seconds PER FETCH, and the old loop fetched once
+    per sweep).
     """
     hp = jnp.dtype(neq.refine_dtype)
-    target = 1e-10 if hp == jnp.float64 else 1e-5
+    if target is None:
+        target = 1e-10 if hp == jnp.float64 else 1e-5
     rng = np.random.default_rng(0)
     v = jnp.asarray(rng.standard_normal(con_num), hp)
+
     # NB: the solver pytree must be an *argument*, never a closure constant:
     # jit embeds closed-over arrays in the program, and on remote-compile
     # platforms shipping a ~GB factor inside the HLO upload kills the
     # compile service.
-    rhs = jax.jit(lambda nq, v: _aat_matvec(nq.sparse_a, v))(neq, v)
-
     @jax.jit
-    def sweep(nq, y, rhs):
-        r = rhs - _aat_matvec(nq.sparse_a, y)
-        y = y + nq._apply_factor(r).astype(hp)
-        res = jnp.linalg.norm(rhs - _aat_matvec(nq.sparse_a, y)) / jnp.linalg.norm(rhs)
-        return y, res
+    def probe(nq, v):
+        rhs = _aat_matvec(nq.sparse_a, v)
+        op = nq._op()
 
-    y = jnp.zeros_like(rhs)
-    res = np.inf
-    for k in range(1, max_applies + 1):
-        y, res = sweep(neq, y, rhs)
-        if float(res) < target:
-            break
-    if not np.isfinite(float(res)) or float(res) > 1e-2:
+        def sweep(y, _):
+            r = rhs - op(y).astype(hp)
+            y = y + nq._apply_factor(r).astype(hp)
+            res = jnp.linalg.norm(rhs - _aat_matvec(nq.sparse_a, y))
+            return y, res
+
+        y = jnp.zeros_like(rhs)
+        resids = []
+        for _ in range(max_applies):
+            y, res = sweep(y, None)
+            resids.append(res)
+        return jnp.stack(resids) / jnp.linalg.norm(rhs)
+
+    curve = np.asarray(jax.device_get(probe(neq, v)), np.float64)
+    ok = np.isfinite(curve) & (curve < target)
+    if ok.any():
+        k = int(np.argmax(ok)) + 1
+        return dataclasses.replace(neq, applies=k)
+    best = int(np.nanargmin(curve)) if np.isfinite(curve).any() else max_applies - 1
+    if not np.isfinite(curve[best]) or curve[best] > 1e-2:
         raise RuntimeError(
             f"normal-equation factor failed the on-device probe: relative "
-            f"residual {float(res):.3e} after {k} refinement sweeps "
-            f"(eps_used={neq.eps_used:g}). The factorization is unusable on "
-            "this backend; try normal_solver='cg' or a larger precond_eps."
+            f"residual curve {curve} (eps_used={neq.eps_used:g}). The "
+            "factorization is unusable on this backend; try "
+            "normal_solver='cg' or a larger precond_eps."
         )
-    return dataclasses.replace(neq, applies=k)
+    return dataclasses.replace(neq, applies=best + 1)
 
 
 def _block_jacobi_inv(
@@ -722,6 +773,7 @@ def build_normal_solver(
     fsai_pattern_power: int = 2,
     mesh=None,
     mesh_axis: str = "blocks",
+    calibrate_target: Optional[float] = None,
 ) -> NormalEqSolver:
     """Factorize once at init (reference: src/solver.cu:91-96) and return a
     device-resident solver.
@@ -879,7 +931,7 @@ def build_normal_solver(
             refine_dtype=refine,
         )
         if applies <= 0:
-            neq = _calibrate_applies(neq, con_num)
+            neq = _calibrate_applies(neq, con_num, target=calibrate_target)
         _mark("calibrate")
         return neq
 
@@ -990,7 +1042,7 @@ def build_normal_solver(
             refine_dtype=refine,
         )
         if applies <= 0:
-            neq = _calibrate_applies(neq, con_num)
+            neq = _calibrate_applies(neq, con_num, target=calibrate_target)
         _mark("calibrate")
         return neq
 
@@ -1049,9 +1101,10 @@ def build_normal_solver(
                 packed_tiles=tiles,
                 packed_layout=tuple(lay),
                 refine_dtype=refine,
+                aat_tbl=_refine_aat_tbl(aat, con_num, len(vals), vec_len, refine),
             )
             if applies <= 0:
-                neq = _calibrate_applies(neq, con_num)
+                neq = _calibrate_applies(neq, con_num, target=calibrate_target)
             _mark("calibrate")
             return neq
 
@@ -1077,10 +1130,15 @@ def build_normal_solver(
             fac_dtype = jnp.float32 if on_accel else (
                 jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
             )
-            # f32 factors need precond_eps-level jitter; f64 factors only
-            # the aat_eps floor (same rationale as split mode).
+            # Start the f32 jitter ladder at 1e-5, not precond_eps:
+            # banded AA^T (diag-normalized chain structure) factors fine
+            # at 1e-5, and the looser 1e-4 forces a second refinement
+            # sweep per solve -- a full extra factor read per iteration
+            # (pendulum N=80: 23 -> 12 ms/solve). Retries escalate x10 on
+            # a non-finite factor as usual. f64 factors need only the
+            # aat_eps floor (same rationale as split mode).
             cur = (
-                max(precond_eps, 1e-5)
+                max(min(precond_eps, 1e-5), 1e-7)
                 if fac_dtype == jnp.float32
                 else max(eps, 1e-12)
             )
@@ -1128,9 +1186,10 @@ def build_normal_solver(
                 band_perm=None if identity else jnp.asarray(perm, jnp.int32),
                 band_inv_perm=None if identity else jnp.asarray(pinv, jnp.int32),
                 refine_dtype=refine,
+                aat_tbl=_refine_aat_tbl(aat, con_num, len(vals), vec_len, refine),
             )
             if applies <= 0:
-                neq = _calibrate_applies(neq, con_num)
+                neq = _calibrate_applies(neq, con_num, target=calibrate_target)
             _mark("calibrate")
             return neq
 
@@ -1202,7 +1261,7 @@ def build_normal_solver(
             refine_dtype=refine,
         )
         if applies <= 0:
-            neq = _calibrate_applies(neq, con_num)
+            neq = _calibrate_applies(neq, con_num, target=calibrate_target)
         _mark("calibrate")
         return neq
 

@@ -202,6 +202,15 @@ class SDPSolver:
             fsai_cap=cfg.fsai_cap,
             fsai_pattern_power=cfg.fsai_pattern_power,
             mesh=self.mesh,
+            # stop_tol-aware refinement target: the solve residual only
+            # needs to sit well under the convergence tolerance; every
+            # extra calibrated sweep is a full factor read per iteration.
+            # f64 refinement keeps the tight default (reference parity).
+            calibrate_target=(
+                None
+                if self.dtype == jnp.float64
+                else float(np.clip(cfg.stop_tol * 0.03, 1e-6, 1e-5))
+            ),
         )
         mark("normal_solver")
         self.init_breakdown.update(
