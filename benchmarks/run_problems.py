@@ -243,6 +243,30 @@ def main() -> None:
             init_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             res = solver.solve(max_iter=args.max_iter)
+            if (
+                args.dtype == "float32"
+                and not res.converged
+                and not res.diverged
+                and "float32 precision floor" in res.message
+            ):
+                # Mixed-precision ladder tail (driver.solve_escalated
+                # semantics, reusing the already-initialized f32 solver's
+                # result as the warm start).
+                import dataclasses as _dc
+
+                from cuadmm_tpu import SolverConfig as _SC
+
+                cfg64 = _dc.replace(cfg, dtype="float64")
+                s64 = SDPSolver(prob, cfg64)
+                res64 = s64.solve(
+                    max_iter=max(args.max_iter - res.iterations, 1),
+                    stop_tol=args.stop_tol,
+                    X0=res.X, y0=res.y, S0=res.S, sig=res.sig,
+                )
+                res = _dc.replace(
+                    res64, iterations=res.iterations + res64.iterations
+                )
+                row["escalated_f64"] = True
             solve_s = time.perf_counter() - t0
             row.update(
                 converged=res.converged,

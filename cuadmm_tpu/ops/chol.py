@@ -109,24 +109,6 @@ PACKED_MAX_CON = 73_000
 BAND_MAX_BYTES = int(14.2 * 2**30)
 
 
-def _refine_aat_tbl(aat, con_num, nnz_a, vec_len, refine_dtype):
-    """Direct con->con ELL table of AA^T for the refinement matvec, or
-    None when the composed A(A^T y) product is cheaper (both paths are
-    gather-bound at ~7 cycles/element on v5e; the composed product
-    touches 2*nnz(A) gathers plus a pool-length scatter+gather)."""
-    if aat.nnz >= 2 * nnz_a + 2 * vec_len:
-        return None
-    coo = aat.tocoo()
-    return _build_ell(
-        coo.row.astype(np.int64),
-        coo.col.astype(np.int64),
-        coo.data,
-        con_num,
-        con_num,
-        jnp.dtype(refine_dtype),
-    )
-
-
 def _rcm_bandwidth(aat) -> tuple:
     """(bandwidth, permutation) of AA^T under reverse Cuthill-McKee.
 
@@ -324,13 +306,15 @@ class NormalEqSolver:
             hp = jnp.dtype(self.refine_dtype)
             rhs_hp = rhs.astype(hp)
             y = jnp.zeros_like(rhs_hp) if warm is None else warm.astype(hp)
-            # Refinement against the exact AA^T. _op() prefers the direct
-            # con->con ELL table when one was built: composing A (A^T y)
-            # routes through the pool-length intermediate (2 gather passes
-            # + a scatter) and cost 15 ms/pair on pendulum N=80 -- 3x the
-            # band solve it was refining; the direct 675k-nnz table is
-            # ~5 ms. Modes whose AA^T is dense-ish (PushT: 8.5M nnz)
-            # keep the composed product (build-side heuristic).
+            # Refinement against the exact AA^T via the COMPOSED
+            # A (A^T y) product. A direct ELL table of AA^T is 3x
+            # cheaper per sweep (measured on pendulum N=80) but was
+            # reverted: its f32 rounding excites near-null directions of
+            # AA^T that the regularized factor amplifies ~1/eps per
+            # sweep, and warm-started solves accumulate it across
+            # iterations into divergence. The composed product's
+            # rounding stays essentially in range(A) (its final multiply
+            # IS an A-product), which the factor does not amplify.
             op = self._op()
             for _ in range(self.applies):
                 r = rhs_hp - op(y).astype(hp)
@@ -1101,7 +1085,8 @@ def build_normal_solver(
                 packed_tiles=tiles,
                 packed_layout=tuple(lay),
                 refine_dtype=refine,
-                aat_tbl=_refine_aat_tbl(aat, con_num, len(vals), vec_len, refine),
+                # No direct AA^T refinement table -- see the banded
+                # branch for the near-null noise-amplification measurement.
             )
             if applies <= 0:
                 neq = _calibrate_applies(neq, con_num, target=calibrate_target)
@@ -1186,7 +1171,14 @@ def build_normal_solver(
                 band_perm=None if identity else jnp.asarray(perm, jnp.int32),
                 band_inv_perm=None if identity else jnp.asarray(pinv, jnp.int32),
                 refine_dtype=refine,
-                aat_tbl=_refine_aat_tbl(aat, con_num, len(vals), vec_len, refine),
+                # NO direct AA^T table for refinement (tried r5): the
+                # composed A(A^T y) product's rounding stays essentially
+                # in range(A), but an f32 ELL table of AA^T injects
+                # ~1e-7 noise into near-null directions where the
+                # regularized factor amplifies it by ~1/eps per sweep --
+                # warm-started solves accumulate it across iterations and
+                # pendulum N=80 diverged by iteration 3000 (errRp 82)
+                # while the composed path tracks the reference exactly.
             )
             if applies <= 0:
                 neq = _calibrate_applies(neq, con_num, target=calibrate_target)
