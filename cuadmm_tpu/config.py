@@ -60,12 +60,20 @@ class SolverConfig:
       correct even on the numerically singular AA^T of moment SDPs
       because ADMM right-hand sides are consistent (see ops/chol.py).
       "dense" = f64 Cholesky + cho_solve + the same refinement (CPU
-      parity path). "cg" = device preconditioned conjugate gradient
-      (block-Jacobi for large con_num). "host" = scipy sparse
+      parity path). "packed" = packed block-triangular tiles + Pallas
+      streaming sweeps (32k..73k cons). "banded" = block-band factor
+      under an RCM row permutation for chain/trajectory SDPs with
+      banded AA^T (pendulum N=80, PushBox N=30) -- far fewer bytes per
+      solve and coverage past the packed HBM ceiling. "split" = exact
+      direct solve when AA^T is block-diagonal under a permutation.
+      "sharded" = distributed blocked Cholesky + triangular solves over
+      a jax.sharding.Mesh (pass ``mesh=`` to SDPSolver) for problems no
+      single chip can factor. "cg" = device preconditioned conjugate
+      gradient (FSAI / block-Jacobi). "host" = scipy sparse
       factorization with a host callback per solve (reference-style; CPU
-      backend only -- TPU PJRT here rejects callbacks). "auto": precond
-      on accelerators / dense on CPU below ``dense_chol_max`` unknowns,
-      else cg.
+      backend only -- TPU PJRT here rejects callbacks). "auto" picks by
+      structural probes (split coupling, RCM bandwidth) and an HBM
+      model: split -> precond/dense -> banded/packed -> sharded -> cg.
     - ``precond_eps``: relative diagonal regularization of the f32
       preconditioner factor (escalates x10 on Cholesky failure).
     - ``precond_applies``: refinement sweeps per solve. Each sweep costs
@@ -93,7 +101,7 @@ class SolverConfig:
     sig_max: float = 1e3
 
     # sGS -> ADMM switch.
-    switch_admm: int = 5000
+    switch_admm: int = 50_000  # reference default 5e4, src/solver.cu:332
 
     # TPU execution.
     dtype: str = "float64"

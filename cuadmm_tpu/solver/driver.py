@@ -437,9 +437,19 @@ class SDPSolver:
         # remote-compile TPU platform.
         step_memo: Dict[str, Any] = {}
 
-        def mk_step(projection):
-            k = repr(projection)
+        def mk_step(projection, rp_hp=False):
+            k = (repr(projection), rp_hp)
             if k not in step_memo:
+                hp_tables = None
+                if rp_hp:
+                    # f64 A-product tables for Rp/errRp (see
+                    # make_step.rp_hp). b/normA recast host-side via the
+                    # stored scaled copies.
+                    hp_tables = (
+                        self._sa_hp,
+                        jnp.asarray(self._b_scaled, jnp.float64),
+                        jnp.asarray(self.scaling.normA, jnp.float64),
+                    )
                 step_memo[k] = make_step(
                     stop_tol=stop_tol,
                     switch_admm=cfg.switch_admm,
@@ -451,6 +461,7 @@ class SDPSolver:
                     mesh=self.mesh,
                     eig_rank=cfg.eig_rank,
                     projection=projection,
+                    rp_hp=hp_tables,
                 )
             return step_memo[k]
 
@@ -467,6 +478,7 @@ class SDPSolver:
         profiled = False
         diverged = False
         stalled = False
+        rp_hp_on = False  # f64 primal-residual step engaged after a stall
         kkt_trail = []  # best in-chunk KKT per check (stall detector)
         recoveries = 0
         converged = float(np.maximum(state.maxfeas, state.relgap)) < stop_tol
@@ -622,13 +634,33 @@ class SDPSolver:
                             max(last[2], last[3]) < stop_tol
                             and new > 0.98 * old
                         ):
-                            stalled = True
-                            info_rows.append(info_np)
-                            log.maybe_row(
-                                it_done, info_np[-1],
-                                time.perf_counter() - t0,
-                            )
-                            break
+                            if not rp_hp_on and jax.config.jax_enable_x64:
+                                # First stall: the f32-floored errRp has
+                                # been mis-biasing the sigma vote (the
+                                # reference's feasratio here is ~1e-9 and
+                                # grows sigma; ours reads ~1). Switch the
+                                # step to f64 Rp/errRp (one emulated spmv
+                                # per iteration) and keep iterating in
+                                # f32 -- measured on pendulum N=80 this
+                                # restores the reference's sigma schedule
+                                # and closes the gap the stall was
+                                # grinding against.
+                                rp_hp_on = True
+                                step = mk_step(self._projection, rp_hp=True)
+                                kkt_trail.clear()
+                                if cfg.verbose:
+                                    print(
+                                        "  [precision] errRp floor stall: "
+                                        "switching to f64 primal residuals"
+                                    )
+                            else:
+                                stalled = True
+                                info_rows.append(info_np)
+                                log.maybe_row(
+                                    it_done, info_np[-1],
+                                    time.perf_counter() - t0,
+                                )
+                                break
             info_rows.append(info_np)
             log.maybe_row(it_done, info_np[-1], time.perf_counter() - t0)
         total_time = time.perf_counter() - t0

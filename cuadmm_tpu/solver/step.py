@@ -66,8 +66,22 @@ def make_step(
     mesh=None,
     eig_rank: Optional[int] = None,
     projection: str = "eigh",
+    rp_hp: Optional[Any] = None,
 ):
-    """Build the iteration body with static algorithm constants baked in."""
+    """Build the iteration body with static algorithm constants baked in.
+
+    ``rp_hp``: optional (sparse_a_f64, b_f64, normA_f64) triple. When
+    given, the primal residual Rp and errRp are evaluated through the f64
+    A-product instead of the state dtype. f32 states floor the MEASURED
+    errRp at ~1e-7*||A||*||X|| (pendulum N=80: reported 5e-4 while the
+    true residual is far lower), and since the sigma vote compares
+    errRp/errRd, the floor biases sigma DOWNWARD exactly when the
+    reference's vote (feasratio ~ 1e-9) would grow sigma and close the
+    dual gap. One emulated-f64 spmv per iteration (~25% on pendulum) --
+    engaged by the driver only after a precision-floor stall, so small
+    problems and the benchmark never pay it. The triple is deliberately a
+    closure constant: a few MB of ELL tables embed fine in the HLO
+    (unlike the ~GB factors, which must stay arguments)."""
 
     def step(state: SolverState, params: SolveParams) -> Tuple[SolverState, jax.Array]:
         sa = params.sparse_a
@@ -131,10 +145,22 @@ def make_step(
             X = shard_pool(state.X + (tau * sig) * Rd, mesh)
 
             # -- Step 5: residuals, objectives, sigma --------------------
-            Rp = params.b - spmv_a(sa, X)
-            errRp = (
-                jnp.linalg.norm(params.normA * Rp) * params.bscale / params.norm_borg
-            )
+            if rp_hp is not None:
+                sa64, b64, normA64 = rp_hp
+                Rp64 = b64 - spmv_a(sa64, X.astype(b64.dtype))
+                Rp = Rp64.astype(X.dtype)
+                errRp = (
+                    jnp.linalg.norm(normA64 * Rp64).astype(X.dtype)
+                    * params.bscale
+                    / params.norm_borg
+                )
+            else:
+                Rp = params.b - spmv_a(sa, X)
+                errRp = (
+                    jnp.linalg.norm(params.normA * Rp)
+                    * params.bscale
+                    / params.norm_borg
+                )
             errRd = jnp.linalg.norm(Rd) * params.Cscale / params.norm_Corg
             # Objective dots: an f32 dot over a ~1M-slot pool with
             # cancellation carries ~1e-2 relative error (rose13: relgap
