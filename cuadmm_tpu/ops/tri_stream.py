@@ -157,7 +157,19 @@ def _diag_panel_step(tiles, diag_id, col_ids):
             lkk, jnp.eye(B, dtype=tiles.dtype), lower=True
         )
         tiles = jax.lax.dynamic_update_index_in_dim(tiles, ikk, diag_id, 0)
-        panel = tiles[col_ids]  # (m_pad, B, B); sentinel rows are garbage
+        # Panel extraction as a scan of dynamic slices, NOT tiles[col_ids]:
+        # XLA's gather lowering materialized a rematerialized slice of the
+        # ENTIRE tile array as an HLO temp (3.25 GB at PushBox N=30's
+        # 3,323-tile band -- OOM on top of the 13 GB factor). A scan of
+        # m_pad dynamic-slices reads only the addressed tiles.
+        _, panel = jax.lax.scan(
+            lambda _, i: (
+                None,
+                jax.lax.dynamic_index_in_dim(tiles, i, 0, keepdims=False),
+            ),
+            None,
+            col_ids,
+        )
         panel = jax.lax.dot_general(
             panel, ikk, (((2,), (1,)), ((), ())), precision=hi
         )
@@ -548,17 +560,24 @@ def band_cholesky(tiles: jax.Array, lay: BandLayout) -> jax.Array:
                     pi.append(i - k - 1)
                     pj.append(j - k - 1)
                     dst.append(tid_band(i, j, lay))
-            total = _pow2_at_least(len(dst))
+            # Chunk the pair updates (64 tiles = ~256 MB of transients):
+            # a single pow2-padded chunk of nbw(nbw+1)/2 pairs OOMed on
+            # top of PushBox N=30's 13 GB factor (231 pairs -> ~3 GB).
+            chunk = 64
+            n_chunks = -(-len(dst) // chunk)
+            total = n_chunks * chunk
             pi_p = np.zeros(total, np.int32)
             pj_p = np.zeros(total, np.int32)
             dst_p = np.full(total, sentinel, np.int32)
             pi_p[: len(pi)] = pi
             pj_p[: len(pj)] = pj
             dst_p[: len(dst)] = dst
-            tiles = _pair_chunk_step(
-                tiles, panel, jnp.asarray(pi_p), jnp.asarray(pj_p),
-                jnp.asarray(dst_p),
-            )
+            for s0 in range(0, total, chunk):
+                sl = slice(s0, s0 + chunk)
+                tiles = _pair_chunk_step(
+                    tiles, panel, jnp.asarray(pi_p[sl]), jnp.asarray(pj_p[sl]),
+                    jnp.asarray(dst_p[sl]),
+                )
     return tiles
 
 
